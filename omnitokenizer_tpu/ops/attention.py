@@ -1,0 +1,204 @@
+"""Core attention ops: cosine-similarity attention (the reference's main
+attention, /root/reference/OmniTokenizer/modules/attention.py:342-486), the
+GEGLU feed-forward (:153-168), and token-grid Pooling/Up blocks (:83-150).
+
+TPU-first notes:
+ * the softmax core is a single fused dot-softmax-dot in f32 accumulators —
+   XLA maps both contractions onto the MXU; sequence lengths here (<=1024
+   spatial, <=5 temporal) fit VMEM so no streaming kernel is needed;
+ * all biases/masks are precomputed static tables (no dynamic shapes);
+ * `attn_bias_mode='sdpa'` reproduces the reference's released-checkpoint
+   behaviour where rel-bias/AliBi are computed but dropped on the torch SDPA
+   fast path (attention.py:439-451).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .bias import ContinuousPositionBias, alibi_bias
+from .norms import LayerNorm, LayerNormGamma
+from .precision import mm_precision
+from .rotary import apply_rotary_emb_2d
+
+NEG_INF = -1e9
+
+
+def l2norm(t: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(t, axis=axis, keepdims=True)
+    return t / jnp.maximum(n, eps)
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    bias: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + bias) v over (B, H, N, D) tensors, f32 core."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    sim = jnp.einsum("bhid,bhjd->bhij", qf, kf, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        sim = sim + bias.astype(jnp.float32)
+    if causal:
+        i, j = sim.shape[-2], sim.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (i, j), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (i, j), 1)
+        causal_mask = col > (row + (j - i))
+        sim = jnp.where(causal_mask, NEG_INF, sim)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+class Attention(nn.Module):
+    """Cosine-sim multi-head attention with fixed logit scale 8.
+
+    q, k are l2-normalized per head-dim then rescaled by learned per-dim
+    q_scale / k_scale vectors (reference attention.py:435-437, scale=8 :353).
+    Spatial position handling:
+      * spatial_pos='rope'  -> 2D rotary on q,k (pre-normalization order
+        matches the reference: rope, then l2norm).
+      * spatial_pos='rel'   -> continuous-position-bias MLP, applied only in
+        'einsum' bias mode.
+    Causal attention adds AliBi only in 'einsum' mode (see module docstring).
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    causal: bool = False
+    scale: float = 8.0
+    spatial_pos: str = "rel"
+    attn_bias_mode: str = "sdpa"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, is_spatial: bool = True) -> jnp.ndarray:
+        B, N, _ = x.shape
+        inner = self.dim_head * self.heads
+
+        # Reference quirk (attention.py:404-412): for self-attention the k/v
+        # projection reads the PRE-norm input (kv_input is bound before
+        # x = self.norm(x)); only q sees the normed tokens.  Released
+        # checkpoints were trained this way.
+        kv_input = x
+        x = LayerNormGamma(self.dim, dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     precision=mm_precision(self.dtype), name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                      precision=mm_precision(self.dtype), name="to_kv")(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def to_bnhd(t):
+            return t.reshape(B, N, self.heads, self.dim_head)
+
+        q, k, v = to_bnhd(q), to_bnhd(k), to_bnhd(v)
+
+        if self.spatial_pos == "rope" and is_spatial:
+            q, k = apply_rotary_emb_2d(q, k)
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+
+        q = l2norm(q.astype(jnp.float32)) * q_scale
+        k = l2norm(k.astype(jnp.float32)) * k_scale
+
+        # (B, H, N, D)
+        q = jnp.transpose(q, (0, 2, 1, 3)).astype(self.dtype)
+        k = jnp.transpose(k, (0, 2, 1, 3)).astype(self.dtype)
+        v = jnp.transpose(v, (0, 2, 1, 3))
+
+        bias = None
+        if self.spatial_pos == "rel" and is_spatial:
+            # parameters must exist for checkpoint compatibility even in sdpa
+            # mode (the reference instantiates the MLP unconditionally)
+            h = w = int(N ** 0.5)
+            cpb = ContinuousPositionBias(dim=self.dim, heads=self.heads, name="spatial_rel_pos_bias")
+            b = cpb(h, w)
+            if self.attn_bias_mode == "einsum":
+                bias = b[None]
+        if self.causal and self.attn_bias_mode == "einsum":
+            ab = alibi_bias(self.heads, N, N)[None]
+            bias = ab if bias is None else bias + ab
+
+        out = sdpa(q, k, v, self.scale, bias=bias, causal=self.causal)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        precision=mm_precision(self.dtype), name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """LayerNorm -> Dense(2*inner, no bias) -> GEGLU -> Dense(dim, no bias).
+
+    inner = int(mult * 2/3 * dim); GEGLU gates with exact (erf) GELU on the
+    second half (reference attention.py:153-168).
+    """
+
+    dim: int
+    mult: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = int(self.mult * (2.0 / 3.0) * self.dim)
+        x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                     precision=mm_precision(self.dtype), name="proj_in")(x)
+        val, gate = jnp.split(x, 2, axis=-1)
+        x = jax.nn.gelu(gate, approximate=False) * val
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        precision=mm_precision(self.dtype), name="proj_out")(x)
+
+
+class Pooling(nn.Module):
+    """Token-grid downsample ('a' avg2x2 / 'm' max2x2 / 'l' linear-4to1)."""
+
+    pool_type: str
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        if self.pool_type in ("a", "m"):
+            H = W = int(N ** 0.5)
+            g = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            if self.pool_type == "a":
+                x = g.mean(axis=(2, 4))
+            else:
+                x = g.max(axis=(2, 4))
+            return x.reshape(B, (H // 2) * (W // 2), C)
+        elif self.pool_type == "l":
+            x = x.reshape(B, N // 4, 4 * C)
+            return nn.Dense(self.dim, dtype=self.dtype, name="pool")(x)
+        raise NotImplementedError(self.pool_type)
+
+
+class Up(nn.Module):
+    """Token-grid upsample ('n' nearest x2 / 'r' nearest x2 + linear)."""
+
+    up_type: str
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        H = W = int(N ** 0.5)
+        g = x.reshape(B, H, W, C)
+        g = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)
+        x = g.reshape(B, 4 * N, C)
+        if self.up_type == "r":
+            x = nn.Dense(self.dim, dtype=self.dtype, name="up")(x)
+        return x

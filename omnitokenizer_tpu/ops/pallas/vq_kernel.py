@@ -1,0 +1,73 @@
+"""Fused VQ nearest-neighbour Pallas kernel.
+
+Replaces the reference's cuBLAS distance matmul + separate argmin
+(/root/reference/OmniTokenizer/modules/codebook.py:82-86).  The XLA fallback
+materializes an (M, n_codes) f32 distance matrix in HBM (1.3 GB for a video
+batch); this kernel keeps each (TILE_M, n_codes) distance tile in VMEM and
+writes only the int32 indices back — the HBM traffic drops to reading the
+inputs once.
+
+The ||x||^2 row term is dropped: it is constant per row and cannot change the
+argmin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 256
+
+
+def _vq_kernel(x_ref, e_ref, esq_ref, out_ref):
+    x = x_ref[:]  # (TILE_M, D) f32
+    e = e_ref[:]  # (K, D) f32
+    # dist' = -2 x.E^T + ||E||^2   (row-constant ||x||^2 omitted)
+    dist = jax.lax.dot_general(
+        x, e,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (-2.0) + esq_ref[:]
+    out_ref[:] = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def vq_argmin_pallas(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
+    """flat (M, D) f32, embeddings (K, D) f32 -> (M,) int32."""
+    m, d = flat.shape
+    k = embeddings.shape[0]
+    m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
+    x = jnp.pad(flat.astype(jnp.float32), ((0, m_pad - m), (0, 0)))
+    e = embeddings.astype(jnp.float32)
+    esq = jnp.sum(e * e, axis=1)[None, :]  # (1, K)
+
+    out = pl.pallas_call(
+        _vq_kernel,
+        grid=(m_pad // TILE_M,),
+        in_specs=[
+            pl.BlockSpec((TILE_M, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * d,
+            bytes_accessed=m_pad * d * 4 + k * d * 4 + m_pad * 4,
+            transcendentals=0,
+        ),
+    )(x, e, esq)
+    return out[:m, 0]
+
+
+def vq_argmin_best(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, plain XLA otherwise (CPU tests / fallback)."""
+    if jax.default_backend() == "tpu":
+        return vq_argmin_pallas(flat, embeddings)
+    from ..codebook import vq_argmin_xla
+
+    return vq_argmin_xla(flat, embeddings)

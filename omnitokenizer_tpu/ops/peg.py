@@ -1,0 +1,47 @@
+"""PEG: depthwise 3x3x3 Conv3d positional encoding generator.
+
+Reference: /root/reference/OmniTokenizer/modules/attention.py:298-338.
+
+Parity quirk preserved on purpose: the reference reshapes ANY (B', N, d)
+token tensor to `video_shape` = (B, T, H, W) row-major — including the
+temporal-transformer layout (b h w) t d, which scrambles batch/space/time.
+Released checkpoints were trained with this behaviour, so we reproduce it
+bit-for-bit rather than "fixing" it.
+
+Temporal padding is (2, 0) when causal else (1, 1); spatial is (1, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PEG(nn.Module):
+    dim: int
+    causal: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, video_shape: Tuple[int, int, int, int]) -> jnp.ndarray:
+        orig_shape = x.shape
+        B, T, H, W = video_shape
+        g = x.reshape(B, T, H, W, self.dim)
+
+        tpad = (2, 0) if self.causal else (1, 1)
+        g = jnp.pad(g, ((0, 0), tpad, (1, 1), (1, 1), (0, 0)))
+
+        # depthwise conv: feature_group_count = dim, kernel (3,3,3,1,dim)
+        g = nn.Conv(
+            features=self.dim,
+            kernel_size=(3, 3, 3),
+            padding="VALID",
+            feature_group_count=self.dim,
+            use_bias=True,
+            dtype=self.dtype,
+            name="dsconv",
+        )(g)
+
+        return g.reshape(orig_shape)

@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh (JAX's standard fake-mesh
+trick) so multi-device/psum code paths run without TPUs.
+
+Note: the axon TPU plugin in this image overrides the JAX_PLATFORMS env var,
+so we also force the platform through jax.config before any backend init.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
