@@ -1,0 +1,202 @@
+"""Compositional argparse mirroring the reference flag sets so the shell
+scripts under /root/reference/scripts/ port over with the script name
+swapped.
+
+Flag inventories: omnitokenizer.py:694-768 (model), base.py:245-269 (VQ/GAN
+base), data.py:551-577 (data), plus Trainer-ish flags consumed here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import GPTConfig, LossConfig, Net2NetConfig, TokenizerConfig, TrainConfig
+
+
+def apply_platform_env():
+    """Honour JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
+    tunnel) overrides the env var — must run before any jax backend use."""
+    want = os.environ.get("JAX_PLATFORMS", "").lower()
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--tokenizer", type=str, default="omnitokenizer")
+    p.add_argument("--embedding_dim", type=int, default=512)
+    p.add_argument("--n_codes", type=int, default=8192)
+    p.add_argument("--codebook_dim", type=int, default=8)
+    p.add_argument("--n_hiddens", type=int, default=512)
+    p.add_argument("--image_channels", type=int, default=3)
+    p.add_argument("--patch_size", type=int, default=8)
+    p.add_argument("--temporal_patch_size", type=int, default=4)
+    p.add_argument("--patch_embed", type=str, default="linear", choices=["linear", "cnn"])
+    p.add_argument("--enc_block", type=str, default="ttww")
+    p.add_argument("--dec_block", type=str, default="tttt")
+    p.add_argument("--twod_window_size", type=int, default=8)
+    p.add_argument("--spatial_depth", type=int, default=4)
+    p.add_argument("--temporal_depth", type=int, default=4)
+    p.add_argument("--spatial_pos", type=str, default="rel", choices=["rel", "rope"])
+    p.add_argument("--causal_in_temporal_transformer", action="store_true")
+    p.add_argument("--causal_in_peg", action="store_true")
+    p.add_argument("--defer_temporal_pool", action="store_true")
+    p.add_argument("--defer_spatial_pool", action="store_true")
+    p.add_argument("--dim_head", type=int, default=64)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--ff_mult", type=float, default=4.0)
+    p.add_argument("--attn_dropout", type=float, default=0.0)
+    p.add_argument("--ff_dropout", type=float, default=0.0)
+    p.add_argument("--gen_upscale", type=int, default=None)
+    p.add_argument("--initialize_vit", action="store_true")
+    p.add_argument("--use_vae", action="store_true")
+    p.add_argument("--kl_weight", type=float, default=1e-6)
+    p.add_argument("--l2_code", action="store_true")
+    p.add_argument("--use_external_codebook", action="store_true")
+    p.add_argument("--no_random_restart", action="store_true")
+    p.add_argument("--restart_thres", type=float, default=1.0)
+    p.add_argument("--commitment_weight", type=float, default=0.25)
+    p.add_argument("--norm_type", type=str, default="group", choices=["batch", "group"])
+    p.add_argument("--fp32_quant", action="store_true")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute path")
+    return p
+
+
+def add_loss_args(p: argparse.ArgumentParser):
+    p.add_argument("--recon_loss_type", type=str, default="l1", choices=["l1", "l2"])
+    p.add_argument("--l1_weight", type=float, default=4.0)
+    p.add_argument("--perceptual_weight", type=float, default=0.0)
+    p.add_argument("--video_perceptual_weight", type=float, default=0.0)
+    p.add_argument("--image_gan_weight", type=float, default=1.0)
+    p.add_argument("--video_gan_weight", type=float, default=1.0)
+    p.add_argument("--gan_feat_weight", type=float, default=0.0)
+    p.add_argument("--logitslaplace_weight", type=float, default=0.0)
+    p.add_argument("--disc_loss_type", type=str, default="hinge", choices=["hinge", "vanilla"])
+    p.add_argument("--disc_channels", type=int, default=64)
+    p.add_argument("--disc_layers", type=int, default=3)
+    p.add_argument("--discriminator_iter_start", type=int, default=0)
+    p.add_argument("--sigmoid_in_disc", action="store_true")
+    p.add_argument("--activation_in_disc", type=str, default="leaky_relu")
+    p.add_argument("--apply_blur", action="store_true")
+    p.add_argument("--apply_noise", action="store_true")
+    p.add_argument("--apply_diffaug", action="store_true")
+    p.add_argument("--apply_allframes", action="store_true")
+    return p
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--lr_min", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--warmup_lr_init", type=float, default=0.0)
+    p.add_argument("--max_steps", type=int, default=500_000)
+    p.add_argument("--dis_lr_multiplier", type=float, default=1.0)
+    p.add_argument("--dis_minlr_multiplier", action="store_true")
+    p.add_argument("--dis_warmup_steps", type=int, default=0)
+    p.add_argument("--grad_accumulates", type=int, default=1)
+    p.add_argument("--grad_clip_val", type=float, default=1.0)
+    p.add_argument("--grad_clip_val_disc", type=float, default=1.0)
+    p.add_argument("--disloss_check_thres", type=float, default=None)
+    p.add_argument("--perloss_check_thres", type=float, default=None)
+    p.add_argument("--recloss_check_thres", type=float, default=None)
+    p.add_argument("--resolution_scale", default=None, nargs="+", type=float)
+    p.add_argument("--default_root_dir", type=str, default="./runs/omnitokenizer")
+    p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--init_vgen", type=str, default=None)
+    p.add_argument("--init_vdis", type=str, default=None)
+    p.add_argument("--no_init_idis", action="store_true")
+    p.add_argument("--freeze_trans", action="store_true")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--num_nodes", type=int, default=1)
+    p.add_argument("--gpus", type=int, default=0)
+    p.add_argument("--sync_batchnorm", action="store_true")
+    p.add_argument("--progress_bar_refresh_rate", type=int, default=50)
+    return p
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--loader_type", type=str, default="joint", choices=["sep", "joint"])
+    p.add_argument("--data_path", type=str, nargs="+", default=["./data"])
+    p.add_argument("--train_datalist", type=str, nargs="+", default=["none"])
+    p.add_argument("--val_datalist", type=str, nargs="+", default=["none"])
+    p.add_argument("--batch_size", type=int, nargs="+", default=[8])
+    p.add_argument("--sample_ratio", type=float, nargs="+", default=None)
+    p.add_argument("--force_alternation", action="store_true")
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--sequence_length", type=int, default=17)
+    p.add_argument("--fps", type=int, default=-1)
+    p.add_argument("--resizecrop", action="store_true")
+    p.add_argument("--sample_every_n_frames", type=int, default=1)
+    p.add_argument("--downsample", nargs="+", type=int, default=[4, 8, 8])
+    p.add_argument("--smap_cond", type=int, default=0)
+    return p
+
+
+def tokenizer_config_from(args) -> TokenizerConfig:
+    import jax.numpy as jnp
+
+    return TokenizerConfig(
+        embedding_dim=args.embedding_dim, n_codes=args.n_codes,
+        codebook_dim=args.codebook_dim, resolution=args.resolution,
+        sequence_length=args.sequence_length, image_channels=args.image_channels,
+        patch_embed=args.patch_embed, patch_size=args.patch_size,
+        temporal_patch_size=args.temporal_patch_size,
+        defer_temporal_pool=args.defer_temporal_pool,
+        defer_spatial_pool=args.defer_spatial_pool,
+        enc_block=args.enc_block, dec_block=args.dec_block,
+        spatial_depth=args.spatial_depth, temporal_depth=args.temporal_depth,
+        twod_window_size=args.twod_window_size, spatial_pos=args.spatial_pos,
+        causal_in_temporal_transformer=args.causal_in_temporal_transformer,
+        causal_in_peg=args.causal_in_peg, dim_head=args.dim_head,
+        heads=args.heads, ff_mult=args.ff_mult, norm_type=args.norm_type,
+        gen_upscale=args.gen_upscale, use_vae=args.use_vae,
+        l2_code=args.l2_code, use_external_codebook=args.use_external_codebook,
+        no_random_restart=args.no_random_restart, restart_thres=args.restart_thres,
+        commitment_weight=args.commitment_weight, kl_weight=args.kl_weight,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def loss_config_from(args) -> LossConfig:
+    return LossConfig(
+        recon_loss_type=args.recon_loss_type, l1_weight=args.l1_weight,
+        perceptual_weight=args.perceptual_weight,
+        video_perceptual_weight=args.video_perceptual_weight,
+        image_gan_weight=args.image_gan_weight,
+        video_gan_weight=args.video_gan_weight,
+        gan_feat_weight=args.gan_feat_weight,
+        logitslaplace_weight=args.logitslaplace_weight,
+        disc_loss_type=args.disc_loss_type, disc_channels=args.disc_channels,
+        disc_layers=args.disc_layers,
+        discriminator_iter_start=args.discriminator_iter_start,
+        sigmoid_in_disc=args.sigmoid_in_disc,
+        activation_in_disc=args.activation_in_disc,
+        apply_blur=args.apply_blur, apply_noise=args.apply_noise,
+        apply_diffaug=args.apply_diffaug, apply_allframes=args.apply_allframes,
+    )
+
+
+def train_config_from(args) -> TrainConfig:
+    return TrainConfig(
+        lr=args.lr, lr_min=args.lr_min, warmup_steps=args.warmup_steps,
+        warmup_lr_init=args.warmup_lr_init, max_steps=args.max_steps,
+        dis_lr_multiplier=args.dis_lr_multiplier,
+        dis_minlr_multiplier=args.dis_minlr_multiplier,
+        dis_warmup_steps=args.dis_warmup_steps,
+        grad_accumulates=args.grad_accumulates,
+        grad_clip_val=args.grad_clip_val,
+        grad_clip_val_disc=args.grad_clip_val_disc,
+        disloss_check_thres=args.disloss_check_thres,
+        perloss_check_thres=args.perloss_check_thres,
+        recloss_check_thres=args.recloss_check_thres,
+        resolution_scale=args.resolution_scale,
+        sample_ratio=args.sample_ratio,
+        force_alternation=args.force_alternation,
+        seed=args.seed,
+    )

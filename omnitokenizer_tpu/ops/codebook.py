@@ -81,7 +81,7 @@ class Codebook(nn.Module):
                          (self.n_codes, self.embedding_dim), jnp.float32),
         )
         self.N = self.variable("buffers", "N", lambda: jnp.zeros((self.n_codes,), jnp.float32))
-        self.z_avg = self.variable("buffers", "z_avg", lambda: self.embeddings.value)
+        self.z_avg = self.variable("buffers", "z_avg", lambda: jnp.array(self.embeddings.value, copy=True))
         self.codebook_usage = self.variable(
             "buffers", "codebook_usage", lambda: jnp.zeros((self.n_codes,), jnp.float32))
         # 0 = needs data-dependent init; loading a checkpoint sets this to 1

@@ -1,0 +1,157 @@
+"""Training loop driver: metrics logging, periodic checkpoints, auto-resume,
+reconstruction-grid dumps.
+
+Replaces the Lightning Trainer + callbacks of the reference:
+ * ModelCheckpoint every N steps + auto-resume from the newest checkpoint
+   (/root/reference/vqgan_train.py:101-147);
+ * ImageLogger/VideoLogger recon grids (modules/callbacks.py:12-114),
+   written as PNG strips under <root>/images/;
+ * wandb scalar logging replaced by metrics.jsonl (+stdout every log_every).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from .trainer import TokenizerTrainState, TokenizerTrainer
+
+
+def save_state(path: str, state: TokenizerTrainState):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def load_state(path: str, template: TokenizerTrainState) -> TokenizerTrainState:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def find_latest_checkpoint(root: str) -> Optional[str]:
+    """Newest step_*.msgpack under root (auto-resume, vqgan_train.py:122-147)."""
+    cands = glob.glob(os.path.join(root, "checkpoints", "step_*.msgpack"))
+    if not cands:
+        return None
+    return max(cands, key=lambda p: int(re.findall(r"step_(\d+)", p)[0]))
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    return np.clip((img + 0.5) * 255.0, 0, 255).astype(np.uint8)
+
+
+def dump_recon_grid(root: str, split: str, step: int,
+                    inputs: np.ndarray, recons: np.ndarray):
+    """Side-by-side input|recon strip; video (B,T,H,W,C) flattens frames
+    horizontally (callbacks.py behaviour)."""
+    from PIL import Image
+
+    def strip(x):
+        x = np.asarray(x)
+        if x.ndim == 5:  # B,T,H,W,C -> first sample, frames side by side
+            x = x[0]
+            return np.concatenate(list(x), axis=1)
+        return x[0]
+
+    top, bottom = _to_uint8(strip(inputs)), _to_uint8(strip(recons))
+    grid = np.concatenate([top, bottom], axis=0)
+    out_dir = os.path.join(root, "images", split)
+    os.makedirs(out_dir, exist_ok=True)
+    Image.fromarray(grid).save(os.path.join(out_dir, f"step_{step:08d}.png"))
+
+
+class MetricsLogger:
+    def __init__(self, root: str, log_every: int = 50):
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "metrics.jsonl")
+        self.log_every = log_every
+        self._f = open(self.path, "a")
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        rec = {"step": step, "time": round(time.time() - self._t0, 2)}
+        rec.update({k: float(v) for k, v in metrics.items()
+                    if np.ndim(v) == 0})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if step % self.log_every == 0:
+            short = {k: round(v, 4) for k, v in rec.items()
+                     if k in ("recon_loss", "perceptual_loss", "discloss",
+                              "perplexity", "avg_usage", "g_total")}
+            print(f"[step {step}] {short}", flush=True)
+
+
+def train_tokenizer(
+    trainer: TokenizerTrainer,
+    batches: Iterable[Dict[str, np.ndarray]],
+    root_dir: str,
+    max_steps: int,
+    mesh=None,
+    ckpt_every: int = 3000,
+    img_every: int = 1000,
+    log_every: int = 50,
+    resume: bool = True,
+    seed: int = 0,
+    initial_state: Optional[TokenizerTrainState] = None,
+):
+    """Run the jitted GAN step over a batch stream.  Batches are dicts with
+    'video' (B, T, H, W, C) channels-last float32."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = initial_state if initial_state is not None else trainer.init_state(seed=seed)
+    ckpt = find_latest_checkpoint(root_dir) if resume else None
+    if ckpt:
+        print(f"auto-resuming from {ckpt}")
+        state = load_state(ckpt, state)
+
+    step_fn = jax.jit(trainer.train_step)
+    logger = MetricsLogger(root_dir, log_every)
+
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    start = int(state.step)
+    it = iter(batches)
+    recon_fn = None
+    for step in range(start, max_steps):
+        batch = next(it)
+        video = jnp.asarray(batch["video"], jnp.float32)
+        if video.ndim == 4:
+            video = video[:, None]
+        if mesh is not None:
+            video = jax.device_put(video, NamedSharding(mesh, P("data")))
+        state, metrics = step_fn(state, video)
+
+        logger.log(step, metrics)
+
+        if step % ckpt_every == 0 and step > start:
+            save_state(os.path.join(root_dir, "checkpoints",
+                                    f"step_{step:08d}.msgpack"), state)
+        if img_every and step % img_every == 0:
+            if recon_fn is None:
+                net = trainer.net
+
+                @jax.jit
+                def recon_fn(params, buffers, v):
+                    out, _ = net.apply({"params": params, "buffers": buffers},
+                                       v, v.shape[1] == 1,
+                                       rngs={"gaussian": jax.random.PRNGKey(0)}
+                                       if trainer.cfg.use_vae else None)
+                    return out
+
+            recons = recon_fn(state.params_g, state.buffers, video)
+            dump_recon_grid(root_dir, "train", step,
+                            jax.device_get(video), jax.device_get(recons))
+
+    save_state(os.path.join(root_dir, "checkpoints",
+                            f"step_{int(state.step):08d}.msgpack"), state)
+    return state

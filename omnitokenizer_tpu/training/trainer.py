@@ -49,19 +49,24 @@ class TokenizerTrainState(struct.PyTreeNode):
     rng: jax.Array
 
 
-def _g_schedule(tc: TrainConfig) -> optax.Schedule:
+def _warmup_cosine(tc: TrainConfig, peak: float, warm: int, end: float) -> optax.Schedule:
+    # optax counts decay_steps from step 0 (warmup included); clamp warmup
+    # below the horizon (timm's scheduler allows warmup >= t_initial)
+    total = max(tc.max_steps, 2)
+    warm = min(max(warm, 1), total - 1)
     return optax.warmup_cosine_decay_schedule(
-        init_value=tc.warmup_lr_init, peak_value=tc.lr,
-        warmup_steps=max(tc.warmup_steps, 1),
-        decay_steps=max(tc.max_steps, 2), end_value=tc.lr_min)
+        init_value=tc.warmup_lr_init, peak_value=peak,
+        warmup_steps=warm, decay_steps=total, end_value=end)
+
+
+def _g_schedule(tc: TrainConfig) -> optax.Schedule:
+    return _warmup_cosine(tc, tc.lr, tc.warmup_steps, tc.lr_min)
 
 
 def _d_schedule(tc: TrainConfig) -> optax.Schedule:
     warm = tc.dis_warmup_steps if tc.dis_warmup_steps > 0 else tc.warmup_steps
     end = tc.lr_min * tc.dis_lr_multiplier if tc.dis_minlr_multiplier else tc.lr_min
-    return optax.warmup_cosine_decay_schedule(
-        init_value=tc.warmup_lr_init, peak_value=tc.lr * tc.dis_lr_multiplier,
-        warmup_steps=max(warm, 1), decay_steps=max(tc.max_steps, 2), end_value=end)
+    return _warmup_cosine(tc, tc.lr * tc.dis_lr_multiplier, warm, end)
 
 
 def _make_opt(schedule, clip: Optional[float], accum: int) -> optax.GradientTransformation:
@@ -138,11 +143,12 @@ class TokenizerTrainer:
         variables = {"params": params[which]}
         if stats[which]:
             variables["batch_stats"] = stats[which]
+        # BatchNorm in train mode always writes running stats; run with the
+        # collection mutable and only keep the update when requested.
+        (logits, feats), updated = mod.apply(
+            variables, x, train=train, noise_rng=noise_rng, mutable=["batch_stats"])
         if mutable:
-            (logits, feats), updated = mod.apply(
-                variables, x, train=train, noise_rng=noise_rng, mutable=["batch_stats"])
             return logits, feats, updated.get("batch_stats", stats[which])
-        logits, feats = mod.apply(variables, x, train=train, noise_rng=noise_rng)
         return logits, feats, stats[which]
 
     def _perceptual(self, lpips_params, frames, frames_recon):
@@ -334,5 +340,6 @@ class TokenizerTrainer:
     def jit_train_step(self, mesh=None):
         """Return a jitted train_step; with a mesh, batch is data-sharded and
         state replicated (GSPMD inserts the collectives)."""
-        step = jax.jit(self.train_step, donate_argnums=(0,))
-        return step
+        # NOTE: no buffer donation yet — freshly-initialized states contain
+        # aliased zero/copied buffers which XLA rejects when donated twice.
+        return jax.jit(self.train_step)
