@@ -62,6 +62,7 @@ def main(argv=None):
     psnrs, ssims = [], []
     used_codes = set()
     n_batches = 0
+    real_clips, fake_clips = [], []  # uint8 (B,T,H,W,C) for FVD
     from PIL import Image
 
     for bi, batch in enumerate(iter(loader)):
@@ -96,13 +97,34 @@ def main(argv=None):
             flat_in = xin.reshape(-1, *xin.shape[2:])
             flat_re = xre.reshape(-1, *xre.shape[2:])
             psnrs.extend(np.asarray(psnr(jnp.asarray(flat_in), jnp.asarray(flat_re))).tolist())
+            to_u8 = lambda v: np.clip((v + 0.5) * 255, 0, 255).astype(np.uint8)
+            real_clips.append(to_u8(xin))
+            fake_clips.append(to_u8(xre))
         n_batches += 1
+
+    fvd = None
+    if not is_image and real_clips:
+        # rFVD via I3D logits (vqgan_eval.py:102-167); requires the
+        # i3d_pretrained_400.pt weights — without them we skip the number
+        # rather than report a random-feature distance
+        from ..eval.i3d import compute_fvd_logits, load_i3d_variables
+
+        i3d_vars, pretrained = load_i3d_variables(args.i3d_path)
+        if pretrained:
+            real = np.concatenate(real_clips)
+            fake = np.concatenate(fake_clips)
+            lr = compute_fvd_logits(real, i3d_vars)
+            lf = compute_fvd_logits(fake, i3d_vars)
+            fvd = float(frechet_distance(lr, lf))
+        else:
+            print("[vqgan_eval] no I3D weights (--i3d_path); skipping rFVD")
 
     usage = len(used_codes) / cfg.n_codes
     result = {
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
         "codebook_usage": usage,
+        "fvd": fvd,
         "batches": n_batches,
     }
     print(json.dumps(result))

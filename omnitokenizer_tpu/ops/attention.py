@@ -42,10 +42,15 @@ def sdpa(
     bias: Optional[jnp.ndarray] = None,
     causal: bool = False,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale + bias) v over (B, H, N, D) tensors, f32 core."""
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    sim = jnp.einsum("bhid,bhjd->bhij", qf, kf, precision=jax.lax.Precision.HIGHEST,
+    """softmax(q k^T * scale + bias) v over (B, H, N, D) tensors.
+
+    Logits and softmax always accumulate in f32 (preferred_element_type);
+    the matmul multiply precision follows the input dtype — bf16 inputs ride
+    the native MXU bf16 path, f32 inputs pin HIGHEST for parity.
+    """
+    fast = q.dtype == jnp.bfloat16
+    prec = None if fast else jax.lax.Precision.HIGHEST
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
                      preferred_element_type=jnp.float32) * scale
     if bias is not None:
         sim = sim + bias.astype(jnp.float32)
@@ -55,9 +60,9 @@ def sdpa(
         col = jax.lax.broadcasted_iota(jnp.int32, (i, j), 1)
         causal_mask = col > (row + (j - i))
         sim = jnp.where(causal_mask, NEG_INF, sim)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32),
-                     precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(q.dtype), precision=prec,
+                     preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
 
 

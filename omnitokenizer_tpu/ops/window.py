@@ -80,9 +80,11 @@ class WindowAttention(nn.Module):
                        precision=mm_precision(self.dtype), name="qkv")(xw)
         qkv = qkv.reshape(BW, NW, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (BW, NW, h, d)
-        q = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32) * scale
-        k = jnp.transpose(k, (0, 2, 1, 3)).astype(jnp.float32)
-        v = jnp.transpose(v, (0, 2, 1, 3)).astype(jnp.float32)
+        fast = self.dtype == jnp.bfloat16
+        prec = None if fast else jax.lax.Precision.HIGHEST
+        q = jnp.transpose(q, (0, 2, 1, 3)) * scale
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
 
         table = self.param(
             "relative_position_bias_table",
@@ -94,11 +96,11 @@ class WindowAttention(nn.Module):
         bias = table[idx].reshape(NW, NW, self.num_heads)
         bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, h, NW, NW)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32) + bias
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
+                         preferred_element_type=jnp.float32) + bias
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=prec,
+                         preferred_element_type=jnp.float32)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(BW, NW, C).astype(self.dtype)
         out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                        precision=mm_precision(self.dtype), name="proj")(out)

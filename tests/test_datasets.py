@@ -1,0 +1,104 @@
+"""Dataset tests over synthesized files: HDF5, vtokens, frame folders,
+media grids, diffusion adapter."""
+
+import os
+
+import numpy as np
+import pytest
+
+RNG = np.random.RandomState(0)
+
+
+def test_hdf5_dataset(tmp_path):
+    import h5py
+
+    from omnitokenizer_tpu.data.hdf5 import HDF5Dataset
+
+    path = str(tmp_path / "vids.h5")
+    frames = (RNG.rand(40, 32, 48, 3) * 255).astype(np.uint8)
+    idx = np.array([0, 20], np.int64)  # 2 videos of 20 frames; last sentinel trimmed
+    with h5py.File(path, "w") as f:
+        f["train_data"] = frames
+        f["train_idx"] = np.array([0, 20, 40], np.int64)
+    ds = HDF5Dataset(path, sequence_length=8, train=True, resolution=24)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["video"].shape == (8, 24, 24, 3)
+    assert -0.51 <= s["video"].min() and s["video"].max() <= 0.51
+
+
+def test_hdf5_vtokens(tmp_path):
+    import h5py
+
+    from omnitokenizer_tpu.data.hdf5 import HDF5DatasetVtokens
+
+    path = str(tmp_path / "toks.h5")
+    toks = RNG.randint(0, 100, (50, 15, 15)).astype(np.int64)
+    with h5py.File(path, "w") as f:
+        f["train_data"] = toks
+        f["train_idx"] = np.array([0, 25, 50], np.int64)
+    ds = HDF5DatasetVtokens(path, sequence_length=8, train=True,
+                            resolution=15, spatial_length=10)
+    s = ds[0]
+    assert s["video"].shape == (8, 10, 10)
+    assert s["cbox"].shape == (4,)
+
+
+def test_frame_dataset(tmp_path):
+    from PIL import Image
+
+    from omnitokenizer_tpu.data.hdf5 import FrameDataset
+
+    clip_dir = tmp_path / "clips" / "c0"
+    clip_dir.mkdir(parents=True)
+    for i in range(10):
+        Image.fromarray((RNG.rand(20, 20, 3) * 255).astype(np.uint8)).save(
+            clip_dir / f"f{i:03d}.png")
+    ds = FrameDataset(str(tmp_path / "clips"), sequence_length=4, resolution=16)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["video"].shape == (4, 16, 16, 3)
+
+
+def test_stft_dataset(tmp_path):
+    from omnitokenizer_tpu.data.hdf5 import StftDataset
+
+    np.savez(tmp_path / "a.npz",
+             stft=RNG.rand(30, 64).astype(np.float32),
+             video=(RNG.rand(30, 40, 40, 3) * 255).astype(np.uint8))
+    ds = StftDataset(str(tmp_path), sequence_length=16, resolution=32)
+    s = ds[0]
+    assert s["video"].shape == (16, 32, 32, 3)
+    assert s["stft"].shape == (16, 64)
+
+
+def test_media_grids(tmp_path):
+    from omnitokenizer_tpu.utils.media import make_video_grid, save_image_grid, save_video_grid
+
+    vids = RNG.rand(3, 4, 8, 8, 3).astype(np.float32) - 0.5
+    grid = make_video_grid(vids)
+    assert grid.dtype == np.uint8 and grid.shape[0] == 4
+    save_video_grid(vids, str(tmp_path / "grid.gif"), fps=4)
+    assert os.path.getsize(tmp_path / "grid.gif") > 0
+    save_image_grid(vids[:, 0], str(tmp_path / "grid.png"))
+    assert os.path.getsize(tmp_path / "grid.png") > 0
+
+
+def test_diffusion_adapter():
+    from omnitokenizer_tpu import OmniTokenizerVQGAN, TokenizerConfig
+    from omnitokenizer_tpu.models.diffusion_adapter import DiffusionVAEAdapter
+
+    cfg = TokenizerConfig(
+        embedding_dim=32, n_codes=64, codebook_dim=8, resolution=32,
+        sequence_length=5, patch_size=4, temporal_patch_size=2,
+        enc_block="tw", dec_block="tt", spatial_depth=2, temporal_depth=2,
+        twod_window_size=4, dim_head=8, heads=4, spatial_pos="rope", use_vae=True)
+    vae = OmniTokenizerVQGAN.from_config(cfg, seed=0)
+    ad = DiffusionVAEAdapter(vae)
+    assert ad.latent_channels == 8
+    x = RNG.randn(1, 3, 32, 32).astype(np.float32) * 0.2
+    z = ad.encode(x, is_image=True)
+    assert tuple(z.shape) == (1, 8, 8, 8)
+    rec = ad.decode(z, is_image=True)
+    assert rec.shape == (1, 3, 32, 32)
+    assert ad.latent_shape(False) == (8, 3, 8, 8)
