@@ -34,23 +34,39 @@ from ..ops.precision import mm_precision
 from ..ops.transformer import Transformer
 
 
+class _CnnNormalize(nn.Module):
+    """GroupNorm(32) / BatchNorm for the cnn patch-embed path
+    (base.py:272-277); BatchNorm stats live in the 'batch_stats' collection
+    and sync across the mesh via GSPMD's global reductions."""
+
+    channels: int
+    norm_type: str = "group"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.norm_type == "group":
+            return nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        return nn.BatchNorm(use_running_average=not training, epsilon=1e-5,
+                            momentum=0.9, name="norm")(x)
+
+
 class Encoder(nn.Module):
     """omnitokenizer.py:772-947 (linear patch embed path)."""
 
     cfg: TokenizerConfig
 
     @nn.compact
-    def __call__(self, video: jnp.ndarray, is_image: bool) -> jnp.ndarray:
+    def __call__(self, video: jnp.ndarray, is_image: bool,
+                 training: bool = False) -> jnp.ndarray:
         cfg = self.cfg
-        if cfg.patch_embed != "linear":
-            raise NotImplementedError("cnn patch embed lands with the CNN-VQGAN port")
 
         p = cfg.patch_size
         pt = cfg.temporal_patch_size
-        if cfg.defer_temporal_pool:
-            pt //= 2
-        if cfg.defer_spatial_pool:
-            p //= 2
+        if cfg.patch_embed == "linear":
+            if cfg.defer_temporal_pool:
+                pt //= 2
+            if cfg.defer_spatial_pool:
+                p //= 2
 
         B, T, H, W, C = video.shape
         assert (T - 1) % pt == 0, (
@@ -58,21 +74,40 @@ class Encoder(nn.Module):
 
         first, rest = video[:, :1], video[:, 1:]
 
-        ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
-        ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
-        ff = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
-                      precision=mm_precision(cfg.dtype), name="to_patch_emb_first_frame_proj")(ff)
-        ff = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_first_frame_norm2")(ff)
+        if cfg.patch_embed == "linear":
+            ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
+            ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
+            ff = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
+                          precision=mm_precision(cfg.dtype), name="to_patch_emb_first_frame_proj")(ff)
+            ff = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_first_frame_norm2")(ff)
 
-        if rest.shape[1] > 0:
-            rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
-            rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
-            rf = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
-                          precision=mm_precision(cfg.dtype), name="to_patch_emb_proj")(rf)
-            rf = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_norm2")(rf)
-            tokens = jnp.concatenate([ff, rf], axis=1)
+            if rest.shape[1] > 0:
+                rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
+                rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
+                rf = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
+                              precision=mm_precision(cfg.dtype), name="to_patch_emb_proj")(rf)
+                rf = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_norm2")(rf)
+                tokens = jnp.concatenate([ff, rf], axis=1)
+            else:
+                tokens = ff
+        elif cfg.patch_embed == "cnn":
+            # omnitokenizer.py:823-838: strided Conv3d patchify + Normalize
+            ff = nn.Conv(cfg.embedding_dim, (1, p, p), strides=(1, p, p),
+                         padding="VALID", dtype=cfg.dtype,
+                         name="to_patch_emb_first_frame_conv")(first)
+            ff = _CnnNormalize(cfg.embedding_dim, cfg.norm_type,
+                               name="to_patch_emb_first_frame_cnorm")(ff, training)
+            if rest.shape[1] > 0:
+                rf = nn.Conv(cfg.embedding_dim, (pt, p, p), strides=(pt, p, p),
+                             padding="VALID", dtype=cfg.dtype,
+                             name="to_patch_emb_conv")(rest)
+                rf = _CnnNormalize(cfg.embedding_dim, cfg.norm_type,
+                                   name="to_patch_emb_cnorm")(rf, training)
+                tokens = jnp.concatenate([ff, rf], axis=1)
+            else:
+                tokens = ff
         else:
-            tokens = ff
+            raise NotImplementedError(cfg.patch_embed)
 
         b, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
@@ -117,10 +152,10 @@ class Encoder(nn.Module):
         )(x, video_shape2, is_spatial=False)
         tokens = rearrange(x, "(b h w) t d -> b t h w d", b=b, h=nh, w=nw)
 
-        if cfg.defer_spatial_pool:
+        if cfg.defer_spatial_pool and cfg.patch_embed == "linear":
             tokens = nn.avg_pool(
                 tokens.reshape(b * t, nh, nw, d), (2, 2), (2, 2)).reshape(b, t, nh // 2, nw // 2, d)
-        if tokens.shape[1] > 1 and cfg.defer_temporal_pool:
+        if tokens.shape[1] > 1 and cfg.defer_temporal_pool and cfg.patch_embed == "linear":
             first_t, rest_t = tokens[:, :1], tokens[:, 1:]
             rt = rest_t.shape[1]
             rest_t = rest_t.reshape(b, rt // 2, 2, *rest_t.shape[2:]).mean(axis=2)
@@ -135,27 +170,27 @@ class Decoder(nn.Module):
     cfg: TokenizerConfig
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, is_image: bool) -> jnp.ndarray:
+    def __call__(self, tokens: jnp.ndarray, is_image: bool,
+                 training: bool = False) -> jnp.ndarray:
         cfg = self.cfg
-        if cfg.patch_embed != "linear":
-            raise NotImplementedError("cnn to-pixels lands with the CNN-VQGAN port")
 
         p = cfg.patch_size
         if cfg.gen_upscale is not None:
             p *= cfg.gen_upscale
         pt = cfg.temporal_patch_size
-        if cfg.defer_temporal_pool:
-            pt //= 2
-        if cfg.defer_spatial_pool:
-            p //= 2
+        if cfg.patch_embed == "linear":
+            if cfg.defer_temporal_pool:
+                pt //= 2
+            if cfg.defer_spatial_pool:
+                p //= 2
         C = cfg.image_channels
 
         b = tokens.shape[0]
-        if tokens.shape[1] > 1 and cfg.defer_temporal_pool:
+        if tokens.shape[1] > 1 and cfg.defer_temporal_pool and cfg.patch_embed == "linear":
             first_t, rest_t = tokens[:, :1], tokens[:, 1:]
             rest_t = jnp.repeat(rest_t, 2, axis=1)
             tokens = jnp.concatenate([first_t, rest_t], axis=1)
-        if cfg.defer_spatial_pool:
+        if cfg.defer_spatial_pool and cfg.patch_embed == "linear":
             tokens = jnp.repeat(jnp.repeat(tokens, 2, axis=2), 2, axis=3)
 
         _, t, h, w, d = tokens.shape
@@ -202,18 +237,47 @@ class Decoder(nn.Module):
         x = rearrange(x, "(b t) (h w) d -> b t h w d", b=b, h=h, w=w)
 
         first_tok, rest_tok = x[:, :1], x[:, 1:]
-        ff = nn.Dense(C * p * p, dtype=cfg.dtype,
-                      precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
-        first_frame = rearrange(ff, "b t h w (c p1 p2) -> b t (h p1) (w p2) c", p1=p, p2=p)
+        if cfg.patch_embed == "linear":
+            ff = nn.Dense(C * p * p, dtype=cfg.dtype,
+                          precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
+            first_frame = rearrange(ff, "b t h w (c p1 p2) -> b t (h p1) (w p2) c", p1=p, p2=p)
 
-        if rest_tok.shape[1] > 0:
-            rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
-                          precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)
-            rest_frames = rearrange(
-                rf, "b t h w (c pt p1 p2) -> b (t pt) (h p1) (w p2) c", pt=pt, p1=p, p2=p)
-            recon = jnp.concatenate([first_frame, rest_frames], axis=1)
+            if rest_tok.shape[1] > 0:
+                rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
+                              precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)
+                rest_frames = rearrange(
+                    rf, "b t h w (c pt p1 p2) -> b (t pt) (h p1) (w p2) c", pt=pt, p1=p, p2=p)
+                recon = jnp.concatenate([first_frame, rest_frames], axis=1)
+            else:
+                recon = first_frame
+        elif cfg.patch_embed == "cnn":
+            # omnitokenizer.py:1019-1035: plain strided ConvTranspose3d
+            # un-patchify; kernel == stride makes it exactly a per-token
+            # linear + depth-to-space, kept in torch kernel layout
+            # (dim, C, kt, p, p) for direct checkpoint conversion.
+            dim = x.shape[-1]
+
+            def unpatch(tok, kt, name):
+                kernel = self.param(f"{name}_kernel",
+                                    nn.initializers.lecun_normal(),
+                                    (dim, C, kt, p, p), jnp.float32)
+                bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                                  (C,), jnp.float32)
+                y = jnp.einsum("bthwd,dcijl->bthwijlc",
+                               tok.astype(cfg.dtype), kernel.astype(cfg.dtype),
+                               precision=mm_precision(cfg.dtype))
+                y = rearrange(y, "b t h w i j l c -> b (t i) (h j) (w l) c")
+                y = y + bias.astype(cfg.dtype)
+                return _CnnNormalize(C, cfg.norm_type, name=f"{name}_cnorm")(y, training)
+
+            first_frame = unpatch(first_tok, 1, "to_pixels_first_frame_conv")
+            if rest_tok.shape[1] > 0:
+                rest_frames = unpatch(rest_tok, pt, "to_pixels_conv")
+                recon = jnp.concatenate([first_frame, rest_frames], axis=1)
+            else:
+                recon = first_frame
         else:
-            recon = first_frame
+            raise NotImplementedError(cfg.patch_embed)
 
         return recon  # (B, T, H, W, C)
 
@@ -241,9 +305,10 @@ class OmniTokenizerNet(nn.Module):
         )
 
     # -- pieces ---------------------------------------------------------
-    def encode_latent(self, x: jnp.ndarray, is_image: bool) -> jnp.ndarray:
+    def encode_latent(self, x: jnp.ndarray, is_image: bool,
+                      training: bool = False) -> jnp.ndarray:
         """pixels (B,T,H,W,C) -> pre-quant latents (B,t,h,w,code_dim[*2])."""
-        h = self.encoder(x, is_image)
+        h = self.encoder(x, is_image, training=training)
         return self.pre_vq_conv(h.astype(jnp.float32))
 
     def quantize(self, h: jnp.ndarray, training: bool = False, axis_name: Optional[str] = None):
@@ -252,9 +317,11 @@ class OmniTokenizerNet(nn.Module):
             h = h / jnp.maximum(norm, 1e-12)
         return self.codebook(h, training=training, axis_name=axis_name)
 
-    def decode_latent(self, z: jnp.ndarray, is_image: bool) -> jnp.ndarray:
+    def decode_latent(self, z: jnp.ndarray, is_image: bool,
+                      training: bool = False) -> jnp.ndarray:
         """post-quant latents (B,t,h,w,code_dim) -> pixels (B,T,H,W,C)."""
-        return self.decoder(self.post_vq_conv(z.astype(self.cfg.dtype)), is_image)
+        return self.decoder(self.post_vq_conv(z.astype(self.cfg.dtype)), is_image,
+                            training=training)
 
     # -- public-contract methods -----------------------------------------
     def encode(self, x: jnp.ndarray, is_image: bool, include_embeddings: bool = False):
@@ -310,15 +377,15 @@ class OmniTokenizerNet(nn.Module):
         axis_name: Optional[str] = None,
     ):
         """Full autoencode pass; returns (x_recon, aux dict)."""
-        h = self.encode_latent(x, is_image)
+        h = self.encode_latent(x, is_image, training=training)
         if not self.cfg.use_vae:
             vq = self.quantize(h, training=training, axis_name=axis_name)
-            x_recon = self.decode_latent(vq["embeddings"], is_image)
+            x_recon = self.decode_latent(vq["embeddings"], is_image, training=training)
             return x_recon, vq
         posterior = DiagonalGaussian.from_params(h, axis=-1)
         key = self.make_rng("gaussian") if self.has_rng("gaussian") else None
         z = posterior.sample(key) if key is not None else posterior.mode()
-        x_recon = self.decode_latent(z, is_image)
+        x_recon = self.decode_latent(z, is_image, training=training)
         kl = posterior.kl()
         kl_loss = jnp.sum(kl) / kl.shape[0] * self.cfg.kl_weight
         return x_recon, dict(commitment_loss=kl_loss, kl_loss=kl_loss, posterior=posterior)

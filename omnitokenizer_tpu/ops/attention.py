@@ -47,7 +47,15 @@ def sdpa(
     Logits and softmax always accumulate in f32 (preferred_element_type);
     the matmul multiply precision follows the input dtype — bf16 inputs ride
     the native MXU bf16 path, f32 inputs pin HIGHEST for parity.
+
+    On TPU, bias-free attention routes through the fused Pallas kernel
+    (ops/pallas/mha.py), which keeps the (N, N) scores in VMEM.
     """
+    from .pallas.mha import mha_pallas, mha_supported
+
+    if mha_supported(q, bias, causal):
+        return mha_pallas(q, k, v, scale, causal)
+
     fast = q.dtype == jnp.bfloat16
     prec = None if fast else jax.lax.Precision.HIGHEST
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,

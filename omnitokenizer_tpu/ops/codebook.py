@@ -133,17 +133,18 @@ class Codebook(nn.Module):
         commitment_loss = 0.25 * jnp.mean(
             jnp.square(z.astype(jnp.float32) - jax.lax.stop_gradient(quantized)))
 
-        onehot = jax.nn.one_hot(indices, self.n_codes, dtype=jnp.float32)
-        avg_probs = jnp.mean(onehot, axis=0)
+        # scatter-add stats instead of a (M, n_codes) one-hot matrix (which
+        # would materialize ~670 MB for a video batch)
+        counts = jnp.zeros((self.n_codes,), jnp.float32).at[indices].add(1.0)
+        avg_probs = counts / indices.shape[0]
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
         batch_usage = avg_probs  # fraction of batch tokens per code
 
         if training:
             sg_flat = jax.lax.stop_gradient(flat)
-            n_total = jnp.sum(onehot, axis=0)
-            encode_sum = jnp.einsum("md,mk->kd", sg_flat, onehot,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=jnp.float32)
+            n_total = counts
+            encode_sum = jnp.zeros((self.n_codes, self.embedding_dim),
+                                   jnp.float32).at[indices].add(sg_flat)
             if axis_name is not None:
                 n_total = jax.lax.psum(n_total, axis_name)
                 encode_sum = jax.lax.psum(encode_sum, axis_name)

@@ -138,3 +138,17 @@ def test_codebook_training_updates():
     assert int(cb["initialized"]) == 1
     assert float(jnp.sum(cb["N"])) > 0
     assert np.isfinite(float(aux["perplexity"]))
+
+
+def test_cnn_patch_embed_roundtrip():
+    """The 'cnn' patch-embed path (strided Conv3d / ConvTranspose3d)."""
+    # norm_type must be 'batch': the decoder normalizes 3 image channels and
+    # GroupNorm(32, 3) is invalid (same constraint as the reference)
+    cfg = SMALL.replace(patch_embed="cnn", norm_type="batch")
+    tok = OmniTokenizerVQGAN.from_config(cfg, seed=0)
+    x = RNG.randn(1, 3, 5, 32, 32).astype(np.float32) * 0.2
+    enc = tok.encode(x, is_image=False)
+    assert enc.shape == (1, 3, 8, 8)
+    rec = tok.decode(enc, is_image=False)
+    assert rec.shape == (1, 3, 5, 32, 32)
+    assert np.all(np.isfinite(np.asarray(rec)))

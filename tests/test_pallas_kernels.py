@@ -1,0 +1,73 @@
+"""Pallas kernel correctness in interpreter mode (runs on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RNG = np.random.RandomState(0)
+
+
+def _sdpa_ref(q, k, v, scale, causal):
+    s = np.einsum("bhid,bhjd->bhij", q.astype(np.float64), k.astype(np.float64)) * scale
+    if causal:
+        n = s.shape[-2]
+        mask = np.triu(np.ones((n, n), bool), 1)
+        s = np.where(mask, -1e9, s)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhij,bhjd->bhid", p, v.astype(np.float64))
+
+
+def test_mha_kernel_matches_reference():
+    from omnitokenizer_tpu.ops.pallas.mha import mha_pallas
+
+    B, H, N, D = 2, 3, 64, 16
+    q = RNG.randn(B, H, N, D).astype(np.float32)
+    k = RNG.randn(B, H, N, D).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    k /= np.linalg.norm(k, axis=-1, keepdims=True)
+    v = RNG.randn(B, H, N, D).astype(np.float32)
+
+    for causal in (False, True):
+        got = np.asarray(mha_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                    scale=8.0, causal=causal, interpret=True))
+        want = _sdpa_ref(q, k, v, 8.0, causal)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_vq_kernel_matches_xla_in_interpret_mode():
+    from omnitokenizer_tpu.ops.codebook import vq_argmin_xla
+    from omnitokenizer_tpu.ops.pallas import vq_kernel
+
+    flat = RNG.randn(300, 8).astype(np.float32)
+    emb = RNG.randn(64, 8).astype(np.float32)
+
+    # run the pallas kernel in interpreter mode by rebuilding the call
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, d = flat.shape
+    k = emb.shape[0]
+    TM = vq_kernel.TILE_M
+    m_pad = ((m + TM - 1) // TM) * TM
+    x = jnp.pad(jnp.asarray(flat), ((0, m_pad - m), (0, 0)))
+    e = jnp.asarray(emb)
+    esq = jnp.sum(e * e, axis=1)[None, :]
+    out = pl.pallas_call(
+        vq_kernel._vq_kernel,
+        grid=(m_pad // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+        interpret=True,
+    )(x, e, esq)[:m, 0]
+
+    want = np.asarray(vq_argmin_xla(jnp.asarray(flat), jnp.asarray(emb)))
+    np.testing.assert_array_equal(np.asarray(out), want)
