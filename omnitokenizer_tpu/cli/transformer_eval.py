@@ -88,6 +88,32 @@ def main(argv=None):
     is_image = args.sequence_length == 1
     steps = hw * hw if is_image else lt * hw * hw
 
+    if args.inference_type == "frame_prediction":
+        # encode a 2-latent-frame prefix from val videos, AR-continue, decode
+        # (transformer_eval.py:93-134)
+        from ..data.loader import VideoData
+
+        loader = VideoData(args, train=False)
+        sampler = n2n.make_frame_prediction_sampler(
+            lt, prefix_latent_frames=2, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p)
+        rng = jax.random.PRNGKey(args.seed + jax.process_index())
+        done = 0
+        for bi, batch in enumerate(iter(loader)):
+            if done >= args.n_sample:
+                break
+            video = np.moveaxis(np.asarray(batch["video"], np.float32), -1, 1)
+            rng, sub = jax.random.split(rng)
+            ids = sampler(video, sub)
+            pixels = np.asarray(n2n.decode_to_pixels(ids, is_image=False))
+            for i in range(len(pixels)):
+                np.savez(os.path.join(args.save, f"pred{done:05d}.npz"),
+                         video=pixels[i],
+                         ground_truth=video[i])
+                done += 1
+        print(f"frame-predicted {done} clips to {args.save}")
+        return
+
     sampler = n2n.make_class_conditional_sampler(
         steps, temperature=args.temperature, top_k=args.top_k,
         top_p=args.top_p, cfg_ratio=args.cfg_ratio,

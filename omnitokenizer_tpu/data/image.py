@@ -52,5 +52,7 @@ class ImageDataset:
         else:
             img = img.resize((res, res), Image.BICUBIC)
 
-        arr = np.asarray(img, np.float32) / 255.0 - 0.5  # (H, W, C) in [-0.5, 0.5]
+        from ..native import normalize_u8
+
+        arr = normalize_u8(np.asarray(img))  # (H, W, C) in [-0.5, 0.5]
         return {"video": arr, "label": label, "path": rel}

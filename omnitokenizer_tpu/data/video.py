@@ -174,12 +174,13 @@ class VideoDataset:
             print(f"[VideoDataset] decode failed for {path}: {e}; using next index")
             return self[(idx + 1) % len(self)]
 
-        # square random crop (video_utils.py:472-505)
+        # square random crop (video_utils.py:472-505) + fused normalize
+        # (native single-pass kernel when built, numpy fallback otherwise)
+        from ..native import crop_normalize_u8
+
         t, h, w, _ = frames.shape
         x = self.rng.randint(0, h - res + 1) if h > res else 0
         y = self.rng.randint(0, w - res + 1) if w > res else 0
-        frames = frames[:, x:x + res, y:y + res]
-
-        video = frames.astype(np.float32) / 255.0 - 0.5  # (T, H, W, C)
+        video = crop_normalize_u8(frames, x, y, min(res, h), min(res, w))
         label = self.class_to_label.get(os.path.basename(os.path.dirname(path)), -1)
         return {"video": video, "label": label, "path": path, "mask": mask}

@@ -92,12 +92,19 @@ class TransformerBlock(nn.Module):
 
 class GPT(nn.Module):
     cfg: GPTConfig
+    # vtokens_pos: learned (seq_len, res, res, n_embd) table added to the
+    # flat positional embedding through per-sample crop boxes
+    # (reference gpt.py:182-184, 218-223); crop size is static
+    vtokens_seq_len: int = 0
+    vtokens_res: int = 0
+    vtokens_crop: int = 0
 
     @nn.compact
-    def __call__(self, idx: jnp.ndarray, cache=None, pos=None,
+    def __call__(self, idx: jnp.ndarray, cache=None, pos=None, cbox=None,
                  ) -> Tuple[jnp.ndarray, Any]:
         """idx: (B, T) int tokens.  Full forward when cache is None; one-step
-        incremental decode (T==1, scalar pos) otherwise."""
+        incremental decode (T==1, scalar pos) otherwise.  `cbox` (B, 4) are
+        [y0, y1, x0, x1] crop boxes into the vtokens positional table."""
         cfg = self.cfg
         tok = nn.Embed(cfg.vocab_size, cfg.n_embd, dtype=cfg.dtype, name="tok_emb")(idx)
         pos_emb = self.param("pos_emb", nn.initializers.zeros,
@@ -108,6 +115,28 @@ class GPT(nn.Module):
         else:
             pe = jax.lax.dynamic_slice(pos_emb, (0, pos, 0), (1, T, cfg.n_embd))
             x = tok + pe.astype(cfg.dtype)
+
+        if cfg.vtokens_pos and cbox is not None:
+            vt = self.param(
+                "vtokens_pos_emb", nn.initializers.zeros,
+                (self.vtokens_seq_len, self.vtokens_res, self.vtokens_res,
+                 cfg.n_embd), jnp.float32)
+            crop = self.vtokens_crop or self.vtokens_res
+
+            def gather(box):
+                return jax.lax.dynamic_slice(
+                    vt, (0, box[0], box[2], 0),
+                    (self.vtokens_seq_len, crop, crop, cfg.n_embd))
+
+            # flatten crops to (B, seq*crop*crop, C) and add the window that
+            # matches the current positions
+            crops = jax.vmap(gather)(cbox)
+            flat = crops.reshape(cbox.shape[0], -1, cfg.n_embd)
+            if cache is None:
+                x = x + flat[:, :T].astype(cfg.dtype)
+            else:
+                pe2 = jax.lax.dynamic_slice_in_dim(flat, pos, T, axis=1)
+                x = x + pe2.astype(cfg.dtype)
 
         new_caches = []
         for i in range(cfg.n_layer):

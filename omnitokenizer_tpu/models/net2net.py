@@ -38,9 +38,12 @@ class Net2NetTransformer:
     params; training/eval methods are pure and jitted."""
 
     def __init__(self, cfg: Net2NetConfig, tokenizer: OmniTokenizerVQGAN,
-                 gpt_params: Optional[Any] = None, seed: int = 0):
+                 gpt_params: Optional[Any] = None, seed: int = 0,
+                 cond_stage_model: Optional[OmniTokenizerVQGAN] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # second tokenizer for 'stft' conditioning (lm_transformer.py:115-122)
+        self.cond_stage_model = cond_stage_model
         self.gpt = GPT(cfg.gpt)
         if gpt_params is None:
             dummy = jnp.zeros((1, min(8, cfg.gpt.block_size)), jnp.int32)
@@ -66,10 +69,28 @@ class Net2NetTransformer:
             enc = enc[:, :: self.cfg.sample_every_n_latent_frames]
         return enc.reshape(enc.shape[0], -1).astype(jnp.int32)
 
+    def encode_to_c(self, cond, is_image: bool = True) -> jnp.ndarray:
+        """Condition -> token column(s) (lm_transformer.py:270-279):
+        'label' class ids (B,), 'text' pre-tokenized ids (B, L) passthrough
+        (Identity), 'stft' a second tokenizer's flat codes."""
+        key = self.cfg.cond_stage_key
+        if self.cfg.unconditional:
+            return sos_encode(jnp.asarray(cond).shape[0], self.cfg.sos_token)
+        if key == "label":
+            return labelator_encode(jnp.asarray(cond))
+        if key == "text":
+            return jnp.asarray(cond, jnp.int32).reshape(jnp.asarray(cond).shape[0], -1)
+        if key == "stft":
+            assert self.cond_stage_model is not None, "stft conditioning needs cond_stage_model"
+            enc = self.cond_stage_model.encode(cond, is_image)
+            return enc.reshape(enc.shape[0], -1).astype(jnp.int32)
+        raise NotImplementedError(key)
+
     def build_sequence(self, z_ids: jnp.ndarray, labels: Optional[jnp.ndarray],
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """Returns (cz_indices, targets, prefix_len) per
-        lm_transformer.py:136-192."""
+        lm_transformer.py:136-192.  `labels` may be class ids (B,) or
+        pre-encoded condition columns (B, L)."""
         cfg = self.cfg
         B = z_ids.shape[0]
         z = z_ids + self.z_offset
@@ -78,7 +99,9 @@ class Net2NetTransformer:
             cz = jnp.concatenate([c, z], axis=1)
             prefix = c.shape[1] - 1
         elif cfg.starts_with_sos:
-            c = labelator_encode(labels) + 1
+            labels = jnp.asarray(labels)
+            c = (labels.reshape(B, -1).astype(jnp.int32)
+                 if labels.ndim > 1 else labelator_encode(labels)) + 1
             sos = sos_encode(B, cfg.sos_token)
             if cfg.class_first:
                 cz = jnp.concatenate([c, sos, z], axis=1)
@@ -86,7 +109,9 @@ class Net2NetTransformer:
                 cz = jnp.concatenate([sos, c, z], axis=1)
             prefix = 1 + c.shape[1] - 1
         else:
-            c = labelator_encode(labels)
+            labels = jnp.asarray(labels)
+            c = (labels.reshape(B, -1).astype(jnp.int32)
+                 if labels.ndim > 1 else labelator_encode(labels))
             cz = jnp.concatenate([c, z], axis=1)
             prefix = c.shape[1] - 1
         return cz, z_ids, prefix

@@ -119,6 +119,12 @@ def train_tokenizer(
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
 
+    # multi-resolution training (omnitokenizer.py:334-355): pick a random
+    # scale per step and bilinear-resize; each distinct resolution compiles
+    # its own step once and is cached thereafter
+    res_scales = list(trainer.train_cfg.resolution_scale or [])
+    res_rng = np.random.RandomState(seed + 17)
+
     start = int(state.step)
     it = iter(batches)
     recon_fn = None
@@ -127,6 +133,12 @@ def train_tokenizer(
         video = jnp.asarray(batch["video"], jnp.float32)
         if video.ndim == 4:
             video = video[:, None]
+        if res_scales:
+            s = float(res_rng.choice(res_scales))
+            if s != 1.0:
+                B, T, H, W, C = video.shape
+                tgt = int(H * s)
+                video = jax.image.resize(video, (B, T, tgt, tgt, C), "bilinear")
         if mesh is not None:
             video = jax.device_put(video, NamedSharding(mesh, P("data")))
         state, metrics = step_fn(state, video)
