@@ -113,16 +113,30 @@ class Attention(nn.Module):
                       precision=mm_precision(self.dtype), name="to_kv")(kv_input)
         k, v = jnp.split(kv, 2, axis=-1)
 
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+
+        # temporal fast path: N <= 8, no rope/bias -> fused Pallas kernel on
+        # the (B, N, H*D) layout (avoids all relayouts; see PERF.md)
+        from .pallas.small_attn import small_n_attention, small_n_supported
+
+        uses_rope = self.spatial_pos == "rope" and is_spatial
+        needs_bias = self.attn_bias_mode == "einsum" and (
+            (self.spatial_pos == "rel" and is_spatial) or self.causal)
+        if not uses_rope and small_n_supported(N, None if not needs_bias else object()):
+            out = small_n_attention(q, k, v, q_scale, k_scale,
+                                    heads=self.heads, dim_head=self.dim_head,
+                                    scale=self.scale, causal=self.causal)
+            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            precision=mm_precision(self.dtype), name="to_out")(out)
+
         def to_bnhd(t):
             return t.reshape(B, N, self.heads, self.dim_head)
 
         q, k, v = to_bnhd(q), to_bnhd(k), to_bnhd(v)
 
-        if self.spatial_pos == "rope" and is_spatial:
+        if uses_rope:
             q, k = apply_rotary_emb_2d(q, k)
-
-        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
-        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
 
         q = l2norm(q.astype(jnp.float32)) * q_scale
         k = l2norm(k.astype(jnp.float32)) * k_scale
