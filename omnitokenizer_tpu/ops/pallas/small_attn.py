@@ -1,15 +1,18 @@
 """Fused small-N cosine attention Pallas kernel (temporal transformer).
 
 The temporal attention runs on (b*h*w, t, dim) tensors with t <= 8 latent
-frames.  The XLA path pays for (B, N, H, D) relayouts (sublane=5 tiles) and
-f32 l2norm round-trips; per measured PERF.md numbers that is ~3.4 ms/layer —
-10x its FLOP cost.  This kernel reads the POST-PROJECTION (B, N, H*D) layout
-directly (no relayout), performs l2norm + q/k scaling in registers, and
-computes the N^2 score taps as VPU reductions (a 5x64 matmul would waste
->90% of each MXU tile anyway).
+frames.  Everything here operates on full (TILE_B, H*D) lane tiles — no
+per-head slicing, no relayouts:
 
-Semantics identical to ops.attention: cosine-sim attention, f32
-logits/softmax, optional causal mask.
+ * per-head reductions (l2norm sums, score taps) are ONE matmul with a
+   block-indicator matrix Eᵀ (H*D, H): columns of ones over each head's
+   64-lane segment — the MXU does the segmented reduction;
+ * per-head broadcasts (inv-norms, softmax weights) are the transposed
+   expansion p @ E (H, H*D);
+ * softmax over the N taps runs on (TILE_B, H) tiles in f32.
+
+Numerics match ops.attention: l2norm(q)*q_scale etc., f32 logits/softmax,
+optional causal mask.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -25,47 +29,63 @@ MAX_SMALL_N = 8
 TILE_B = 128
 
 
-def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref, *,
-            n: int, heads: int, dim_head: int, scale: float, causal: bool):
-    qs = qs_ref[:].astype(jnp.float32)  # (1, D)
-    ks = ks_ref[:].astype(jnp.float32)
-
+def _block_indicator(heads: int, dim_head: int) -> np.ndarray:
+    """(H*D, H) 0/1 matrix: column h sums lanes of head h."""
+    e = np.zeros((heads * dim_head, heads), np.float32)
     for h in range(heads):
-        sl = slice(h * dim_head, (h + 1) * dim_head)
-        # slice per head straight from the refs so only (TB, N, D) tiles are
-        # ever live in f32 (upcasting the full (TB, N, H*D) block OOMs VMEM)
-        qh = q_ref[:, :, sl].astype(jnp.float32)  # (TB, N, D)
-        kh = k_ref[:, :, sl].astype(jnp.float32)
-        vh = v_ref[:, :, sl]
-        # l2norm + learned per-dim scales (attention.py:435-437)
-        qh = qh * jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24) * qs
-        kh = kh * jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24) * ks
+        e[h * dim_head:(h + 1) * dim_head, h] = 1.0
+    return e
 
-        # N^2 score taps as VPU reductions: s[b, i, j]
-        rows = []
-        for i in range(n):
-            taps = []
-            for j in range(n):
-                if causal and j > i:
-                    taps.append(None)
-                    continue
-                taps.append(jnp.sum(qh[:, i, :] * kh[:, j, :], axis=-1) * scale)
-            # stable softmax over the valid taps
-            valid = [t for t in taps if t is not None]
-            m = valid[0]
-            for t in valid[1:]:
-                m = jnp.maximum(m, t)
-            exps = [jnp.exp(t - m) if t is not None else None for t in taps]
-            denom = sum(e for e in exps if e is not None)
-            inv = 1.0 / denom
-            acc = jnp.zeros_like(vh[:, 0, :], dtype=jnp.float32)
-            for j, e in enumerate(exps):
-                if e is None:
-                    continue
-                acc = acc + (e * inv)[:, None] * vh[:, j, :].astype(jnp.float32)
-            rows.append(acc)
-        oh = jnp.stack(rows, axis=1)  # (TB, N, D)
-        o_ref[:, :, sl] = oh.astype(o_ref.dtype)
+
+def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, e_ref, o_ref, *,
+            n: int, heads: int, dim_head: int, scale: float, causal: bool):
+    E = e_ref[:]  # (HD, H) f32
+    qs = qs_ref[:]  # (1, HD) f32: q_scale tiled across heads
+    ks = ks_ref[:]
+
+    def norm(ref, t_scale):
+        outs = []
+        for t in range(n):
+            x = ref[:, t, :].astype(jnp.float32)  # (TB, HD)
+            ss = jax.lax.dot_general(x * x, E, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # (TB, H)
+            inv = jax.lax.rsqrt(ss + 1e-24)
+            invf = jax.lax.dot_general(inv, E, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)  # (TB, HD)
+            outs.append(x * invf * t_scale)
+        return outs  # list of (TB, HD) f32
+
+    qn = norm(q_ref, qs)
+    kn = norm(k_ref, ks)
+
+    # score taps s[i][j]: (TB, H) f32
+    NEG = -1e9
+    s = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if causal and j > i:
+                continue
+            s[i][j] = jax.lax.dot_general(
+                qn[i] * kn[j], E, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+    for i in range(n):
+        taps = [t for t in s[i] if t is not None]
+        m = taps[0]
+        for t in taps[1:]:
+            m = jnp.maximum(m, t)
+        exps = [jnp.exp(t - m) if t is not None else None for t in s[i]]
+        denom = sum(t for t in exps if t is not None)
+        inv = 1.0 / denom
+        acc = None
+        for j, ej in enumerate(exps):
+            if ej is None:
+                continue
+            w = jax.lax.dot_general((ej * inv), E, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)  # (TB, HD)
+            term = w * v_ref[:, j, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        o_ref[:, i, :] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "scale",
@@ -83,8 +103,9 @@ def small_n_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    qs = q_scale.reshape(1, dim_head).astype(jnp.float32)
-    ks = k_scale.reshape(1, dim_head).astype(jnp.float32)
+    qs = jnp.tile(q_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
+    ks = jnp.tile(k_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
+    E = jnp.asarray(_block_indicator(heads, dim_head))
 
     out = pl.pallas_call(
         functools.partial(_kernel, n=N, heads=heads, dim_head=dim_head,
@@ -94,19 +115,22 @@ def small_n_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, N, HD), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b_pad * heads * N * N * dim_head,
+            flops=6 * b_pad * N * N * HD,
             bytes_accessed=4 * b_pad * N * HD * q.dtype.itemsize,
             transcendentals=b_pad * heads * N * N,
         ),
         interpret=interpret,
-    )(q, k, v, qs, ks)
+    )(q, k, v, qs, ks, E)
     return out[:B]
 
 
