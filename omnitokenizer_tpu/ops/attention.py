@@ -111,7 +111,6 @@ class Attention(nn.Module):
                      precision=mm_precision(self.dtype), name="to_q")(x)
         kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
                       precision=mm_precision(self.dtype), name="to_kv")(kv_input)
-        k, v = jnp.split(kv, 2, axis=-1)
 
         q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
@@ -124,11 +123,13 @@ class Attention(nn.Module):
         needs_bias = self.attn_bias_mode == "einsum" and (
             (self.spatial_pos == "rel" and is_spatial) or self.causal)
         if not uses_rope and small_n_supported(N, None if not needs_bias else object()):
-            out = small_n_attention(q, k, v, q_scale, k_scale,
+            out = small_n_attention(q, kv, q_scale, k_scale,
                                     heads=self.heads, dim_head=self.dim_head,
                                     scale=self.scale, causal=self.causal)
             return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                             precision=mm_precision(self.dtype), name="to_out")(out)
+
+        k, v = jnp.split(kv, 2, axis=-1)
 
         def to_bnhd(t):
             return t.reshape(B, N, self.heads, self.dim_head)

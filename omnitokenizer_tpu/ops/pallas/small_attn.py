@@ -37,16 +37,17 @@ def _block_indicator(heads: int, dim_head: int) -> np.ndarray:
     return e
 
 
-def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, e_ref, o_ref, *,
+def _kernel(q_ref, kv_ref, qs_ref, ks_ref, e_ref, o_ref, *,
             n: int, heads: int, dim_head: int, scale: float, causal: bool):
     E = e_ref[:]  # (HD, H) f32
     qs = qs_ref[:]  # (1, HD) f32: q_scale tiled across heads
     ks = ks_ref[:]
+    HD = heads * dim_head
 
-    def norm(ref, t_scale):
+    def norm(ref, t_scale, lo=0):
         outs = []
         for t in range(n):
-            x = ref[:, t, :].astype(jnp.float32)  # (TB, HD)
+            x = ref[:, t, lo:lo + HD].astype(jnp.float32)  # (TB, HD)
             ss = jax.lax.dot_general(x * x, E, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)  # (TB, H)
             inv = jax.lax.rsqrt(ss + 1e-24)
@@ -56,7 +57,9 @@ def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, e_ref, o_ref, *,
         return outs  # list of (TB, HD) f32
 
     qn = norm(q_ref, qs)
-    kn = norm(k_ref, ks)
+    # k lives in the first half of the fused kv tensor (avoids the HBM copy
+    # XLA emits when splitting the to_kv projection)
+    kn = norm(kv_ref, ks, lo=0)
 
     # score taps s[i][j]: (TB, H) f32
     NEG = -1e9
@@ -83,26 +86,25 @@ def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, e_ref, o_ref, *,
                 continue
             w = jax.lax.dot_general((ej * inv), E, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)  # (TB, HD)
-            term = w * v_ref[:, j, :].astype(jnp.float32)
+            term = w * kv_ref[:, j, HD:].astype(jnp.float32)
             acc = term if acc is None else acc + term
         o_ref[:, i, :] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "scale",
                                              "causal", "interpret"))
-def small_n_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+def small_n_attention(q: jnp.ndarray, kv: jnp.ndarray,
                       q_scale: jnp.ndarray, k_scale: jnp.ndarray,
                       heads: int, dim_head: int, scale: float,
                       causal: bool = False, interpret: bool = False) -> jnp.ndarray:
-    """q, k, v: (B, N, heads*dim_head) post-projection; returns same shape.
+    """q: (B, N, H*D); kv: (B, N, 2*H*D) fused [k | v] projection.
     Performs l2norm + q/k scaling + softmax(q k^T * scale [causal]) v."""
     B, N, HD = q.shape
+    assert kv.shape == (B, N, 2 * HD)
     b_pad = ((B + TILE_B - 1) // TILE_B) * TILE_B
     if b_pad != B:
-        pad = ((0, b_pad - B), (0, 0), (0, 0))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        q = jnp.pad(q, ((0, b_pad - B), (0, 0), (0, 0)))
+        kv = jnp.pad(kv, ((0, b_pad - B), (0, 0), (0, 0)))
     qs = jnp.tile(q_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
     ks = jnp.tile(k_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
     E = jnp.asarray(_block_indicator(heads, dim_head))
@@ -113,15 +115,14 @@ def small_n_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         grid=(b_pad // TILE_B,),
         in_specs=[
             pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, N, 2 * HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HD, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, N, HD), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, N, HD), kv.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -130,7 +131,7 @@ def small_n_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b_pad * heads * N * N,
         ),
         interpret=interpret,
-    )(q, k, v, qs, ks, E)
+    )(q, kv, qs, ks, E)
     return out[:B]
 
 

@@ -31,8 +31,9 @@ def test_small_n_attention_matches_reference():
     ks = RNG.rand(D).astype(np.float32) + 0.5
 
     for causal in (False, True):
+        kv = np.concatenate([k, v], axis=-1)
         got = np.asarray(small_n_attention(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(q), jnp.asarray(kv),
             jnp.asarray(qs), jnp.asarray(ks),
             heads=H, dim_head=D, scale=8.0, causal=causal, interpret=True))
         want = _reference(q, k, v, qs, ks, H, D, 8.0, causal)
@@ -47,8 +48,9 @@ def test_small_n_attention_padding():
     v = RNG.randn(B, N, H * D).astype(np.float32)
     qs = np.ones(D, np.float32)
     ks = np.ones(D, np.float32)
+    kv = np.concatenate([k, v], axis=-1)
     got = np.asarray(small_n_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(q), jnp.asarray(kv),
         jnp.asarray(qs), jnp.asarray(ks),
         heads=H, dim_head=D, scale=8.0, causal=False, interpret=True))
     assert got.shape == (B, N, H * D)
