@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--replacewithgt", type=int, default=0)
     p.add_argument("--i3d_path", type=str, default=None)
+    p.add_argument("--inception_path", type=str, default=None,
+                   help="torch pt_inception-2015-12-05 state_dict for rFID")
     return p
 
 
@@ -102,6 +104,29 @@ def main(argv=None):
             fake_clips.append(to_u8(xre))
         n_batches += 1
 
+    fid = None
+    if is_image and args.inception_path:
+        # rFID over the dumped trees with the flax InceptionV3
+        # (replaces the reference's pytorch-fid subprocess,
+        # vqgan_eval.py:226-236)
+        from PIL import Image as PILImage
+
+        from ..eval.inception import compute_fid_features, load_inception_variables
+
+        inc_vars, pretrained = load_inception_variables(args.inception_path)
+        if pretrained:
+            def read_tree(d):
+                files = sorted(os.listdir(d))
+                return np.stack([
+                    np.asarray(PILImage.open(os.path.join(d, f)), np.float32) / 255.0
+                    for f in files])
+
+            fr = compute_fid_features(read_tree(in_dir), inc_vars)
+            ff = compute_fid_features(read_tree(out_dir), inc_vars)
+            fid = float(frechet_distance(fr, ff))
+        else:
+            print("[vqgan_eval] inception weights unreadable; skipping rFID")
+
     fvd = None
     if not is_image and real_clips:
         # rFVD via I3D logits (vqgan_eval.py:102-167); requires the
@@ -125,6 +150,7 @@ def main(argv=None):
         "ssim": float(np.mean(ssims)) if ssims else None,
         "codebook_usage": usage,
         "fvd": fvd,
+        "fid": fid,
         "batches": n_batches,
     }
     print(json.dumps(result))
