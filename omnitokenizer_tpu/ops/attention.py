@@ -115,17 +115,34 @@ class Attention(nn.Module):
         q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
         k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
 
-        # temporal fast path: N <= 8, no rope/bias -> fused Pallas kernel on
-        # the (B, N, H*D) layout (avoids all relayouts; see PERF.md)
+        # fused Pallas fast paths on the (B, N, H*D) layout (bf16 serving
+        # only — the f32 parity path keeps HIGHEST-precision XLA matmuls):
+        #  * temporal N <= 8 -> small_n_attention (VPU/MXU-segmented taps)
+        #  * spatial (incl. in-kernel RoPE) -> cosine_mha
+        from .pallas.cosine_mha import cosine_mha, cosine_mha_supported
         from .pallas.small_attn import small_n_attention, small_n_supported
 
         uses_rope = self.spatial_pos == "rope" and is_spatial
         needs_bias = self.attn_bias_mode == "einsum" and (
             (self.spatial_pos == "rel" and is_spatial) or self.causal)
-        if not uses_rope and small_n_supported(N, None if not needs_bias else object()):
+        fast_ok = self.dtype == jnp.bfloat16
+        bias_tag = None if not needs_bias else object()
+        if fast_ok and not uses_rope and small_n_supported(N, bias_tag):
             out = small_n_attention(q, kv, q_scale, k_scale,
                                     heads=self.heads, dim_head=self.dim_head,
                                     scale=self.scale, causal=self.causal)
+            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            precision=mm_precision(self.dtype), name="to_out")(out)
+        if fast_ok and cosine_mha_supported(N, bias_tag, self.causal):
+            if self.spatial_pos == "rel" and is_spatial:
+                # parameter parity: the reference instantiates the CPB MLP
+                # even when SDPA drops the bias
+                ContinuousPositionBias(dim=self.dim, heads=self.heads,
+                                       name="spatial_rel_pos_bias")(
+                    int(N ** 0.5), int(N ** 0.5))
+            out = cosine_mha(q, kv, q_scale, k_scale,
+                             heads=self.heads, dim_head=self.dim_head,
+                             scale=self.scale, use_rope=uses_rope)
             return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                             precision=mm_precision(self.dtype), name="to_out")(out)
 

@@ -1,0 +1,129 @@
+"""Fully-fused cosine-sim MHA Pallas kernel for the spatial transformer.
+
+Consumes the POST-PROJECTION layouts directly — q (B, N, H*D) and the fused
+kv (B, N, 2*H*D) — and performs per head, entirely in VMEM:
+
+    [optional 2D-RoPE] -> l2norm * learned scale -> q k^T * 8 -> softmax -> @ v
+
+In-kernel RoPE trick: the reference rotates interleaved lane PAIRS
+(ops/rotary.py); strided lane access is hostile to Mosaic, so the pair
+rotation is expressed as `x * cos + (x @ P) * sin` where P is the constant
+(D, D) signed pair-swap permutation — one tiny MXU matmul.  cos/sin tables
+are precomputed per position with each angle duplicated across its lane pair.
+
+Replaces (per layer): 3 relayout transposes, the kv split copy, two f32
+l2norm round-trips, the f32 rope pass, and the HBM score matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rotary import _freqs_cis_2d_np
+
+MIN_N, MAX_N = 16, 2048
+
+
+def _pair_swap_sign(d: int) -> np.ndarray:
+    """P with (x @ P)[2i] = -x[2i+1], (x @ P)[2i+1] = x[2i]."""
+    p = np.zeros((d, d), np.float32)
+    for i in range(d // 2):
+        p[2 * i + 1, 2 * i] = -1.0
+        p[2 * i, 2 * i + 1] = 1.0
+    return p
+
+
+@functools.lru_cache(maxsize=32)
+def _rope_tables(dim_head: int, n: int):
+    """(N, D) cos/sin with each pair's angle duplicated on both lanes."""
+    cos, sin = _freqs_cis_2d_np(dim_head, n)  # (N, D/2)
+    return np.repeat(cos, 2, axis=1), np.repeat(sin, 2, axis=1)
+
+
+def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, o_ref, *,
+            n: int, heads: int, dim_head: int, scale: float, use_rope: bool):
+    HD = heads * dim_head
+    P = p_ref[:]  # (D, D) f32
+    cos = cos_ref[:]  # (N, D) f32
+    sin = sin_ref[:]
+    qs = qs_ref[:]  # (1, D) f32
+    ks = ks_ref[:]
+
+    for h in range(heads):
+        sl = slice(h * dim_head, (h + 1) * dim_head)
+        qh = q_ref[0, :, sl].astype(jnp.float32)  # (N, D)
+        kh = kv_ref[0, :, sl].astype(jnp.float32)
+        vh = kv_ref[0, :, HD + h * dim_head:HD + (h + 1) * dim_head]
+
+        if use_rope:
+            qh = qh * cos + jax.lax.dot(qh, P, preferred_element_type=jnp.float32) * sin
+            kh = kh * cos + jax.lax.dot(kh, P, preferred_element_type=jnp.float32) * sin
+
+        qh = qh * jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24) * qs
+        kh = kh * jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24) * ks
+
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
+        oh = jax.lax.dot(p, vh, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = oh.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head", "scale",
+                                             "use_rope", "interpret"))
+def cosine_mha(q: jnp.ndarray, kv: jnp.ndarray,
+               q_scale: jnp.ndarray, k_scale: jnp.ndarray,
+               heads: int, dim_head: int, scale: float,
+               use_rope: bool = False, interpret: bool = False) -> jnp.ndarray:
+    """q (B, N, H*D), kv (B, N, 2*H*D) -> (B, N, H*D).  Non-causal."""
+    B, N, HD = q.shape
+    cos_np, sin_np = _rope_tables(dim_head, N)
+    cos = jnp.asarray(cos_np)
+    sin = jnp.asarray(sin_np)
+    P = jnp.asarray(_pair_swap_sign(dim_head))
+    qs = q_scale.reshape(1, dim_head).astype(jnp.float32)
+    ks = k_scale.reshape(1, dim_head).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, n=N, heads=heads, dim_head=dim_head,
+                          scale=scale, use_rope=use_rope),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 2 * HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim_head, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), kv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * N * N * dim_head,
+            bytes_accessed=4 * B * N * HD * q.dtype.itemsize,
+            transcendentals=B * heads * N * N,
+        ),
+        interpret=interpret,
+    )(q, kv, qs, ks, cos, sin, P)
+
+
+def cosine_mha_supported(n: int, bias, causal: bool,
+                         backend_check: bool = True) -> bool:
+    if bias is not None or causal:
+        return False
+    if not (MIN_N <= n <= MAX_N) or int(n ** 0.5) ** 2 != n:
+        return False
+    return (not backend_check) or jax.default_backend() == "tpu"
