@@ -76,3 +76,27 @@ def test_render_clip(tmp_path):
     assert float(np.abs(v + 0.5).mean()) > 0.05
     # consecutive frames differ (agent moves)
     assert float(np.abs(v[0] - v[3]).max()) > 0.01
+
+
+def test_text_tokenizer_roundtrip():
+    from omnitokenizer_tpu.data.text_tokenizer import SimpleTokenizer
+
+    tk = SimpleTokenizer()
+    assert tk.vocab_size == 49408  # matches lm_transformer.py:125 text vocab
+    text = "mugen jumps over a snail and collects a coin !"
+    ids = tk.encode(text)
+    assert tk.decode(ids) == text
+    padded = tk("hello world", context_length=12)
+    assert len(padded) == 12 and padded[0] == tk.encoder["<|startoftext|>"]
+
+
+def test_describe_clip(tmp_path):
+    from omnitokenizer_tpu.data.coinrun import Game
+    from omnitokenizer_tpu.data.coinrun_text import describe_clip
+
+    p = str(tmp_path / "g.json")
+    make_game_json(p)
+    g = Game.from_json(p)
+    desc = describe_clip(g)
+    assert desc.startswith("Mugen ")
+    assert "right" in desc  # agent vx > 0 across frames
