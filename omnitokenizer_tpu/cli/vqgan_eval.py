@@ -74,8 +74,6 @@ def main(argv=None):
         if is_image and video.ndim == 5:
             video = video[:, 0]
         x = np.moveaxis(video, -1, 1)  # to torch layout for the public API
-        if not is_image and x.ndim == 5:
-            x = np.moveaxis(video, -1, 1)
 
         enc = model.encode(x, is_image=is_image)
         rec = model.decode(enc, is_image=is_image)

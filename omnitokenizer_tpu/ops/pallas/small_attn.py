@@ -62,7 +62,6 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, e_ref, o_ref, *,
     kn = norm(kv_ref, ks, lo=0)
 
     # score taps s[i][j]: (TB, H) f32
-    NEG = -1e9
     s = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(n):

@@ -20,14 +20,12 @@ TPU-native design:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..config import LossConfig, TokenizerConfig, TrainConfig
 from ..models.discriminator import NLayerDiscriminator, NLayerDiscriminator3D
