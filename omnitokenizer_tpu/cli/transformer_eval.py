@@ -125,8 +125,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + pidx)
 
     done = 0
-    for start in range(0, min(args.n_sample, len(classes)), 8):
-        cls = jnp.asarray(classes[start:start + 8], jnp.int32)
+    n_total = min(args.n_sample, len(classes))
+    for start in range(0, n_total, 8):
+        cls = jnp.asarray(classes[start:min(start + 8, n_total)], jnp.int32)
         rng, sub = jax.random.split(rng)
         ids = sampler(cls, sub)
         pixels = np.asarray(n2n.decode_to_pixels(ids, is_image=is_image))

@@ -148,10 +148,26 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
     if len(batch_sizes) == 1:
         batch_sizes = batch_sizes * len(paths)
 
+    def _is_image_list(dlist: str) -> bool:
+        # name heuristic (reference data.py:481-508 keys off dataset names),
+        # then a robust fallback: peek at the first entry's file extension
+        if any(s in dlist.lower() for s in
+               ("imagenet", "celeb", "ffhq", "image", "coco")):
+            return True
+        try:
+            with open(dlist) as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if ln:
+                        ext = ln.split("\t")[0].rsplit(".", 1)[-1].lower()
+                        return ext in ("jpg", "jpeg", "png", "bmp", "webp")
+        except OSError:
+            pass
+        return False
+
     loaders = []
     for path, dlist, bs in zip(paths, lists, batch_sizes):
-        image_like = any(s in dlist.lower() for s in
-                         ("imagenet", "celeb", "ffhq", "image", "coco"))
+        image_like = _is_image_list(dlist)
         if image_like:
             ds = ImageDataset(path, dlist, train=train,
                               resolution=args.resolution,

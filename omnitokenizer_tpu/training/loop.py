@@ -84,9 +84,12 @@ class MetricsLogger:
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if step % self.log_every == 0:
-            short = {k: round(v, 4) for k, v in rec.items()
-                     if k in ("recon_loss", "perceptual_loss", "discloss",
-                              "perplexity", "avg_usage", "g_total")}
+            keys = ("recon_loss", "perceptual_loss", "discloss",
+                    "perplexity", "avg_usage", "g_total")
+            short = {k: round(v, 4) for k, v in rec.items() if k in keys}
+            if not short:  # e.g. LM metrics (loss/acc1/acc5)
+                short = {k: round(v, 4) for k, v in rec.items()
+                         if k not in ("step", "time")}
             print(f"[step {step}] {short}", flush=True)
 
 
