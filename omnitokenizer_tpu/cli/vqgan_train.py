@@ -44,6 +44,13 @@ def main(argv=None):
     loader = VideoData(args, train=True,
                        process_index=jax.process_index(),
                        process_count=jax.process_count())
+    try:
+        val_loader = VideoData(args, train=False,
+                               process_index=jax.process_index(),
+                               process_count=jax.process_count())
+    except (ValueError, OSError) as e:
+        print(f"no validation loader ({e}); skipping val passes")
+        val_loader = None
 
     if jax.process_index() == 0:
         print(f"devices: {jax.device_count()}  mesh: {mesh.shape}")
@@ -59,6 +66,7 @@ def main(argv=None):
         trainer, iter(loader), args.default_root_dir,
         max_steps=args.max_steps, mesh=mesh, seed=args.seed,
         initial_state=state,
+        val_batches=iter(val_loader) if val_loader is not None else None,
     )
 
 

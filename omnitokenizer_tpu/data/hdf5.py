@@ -175,3 +175,84 @@ class StftDataset:
             "stft": stft[start:start + self.sequence_length].astype(np.float32),
             "label": -1,
         }
+
+
+class HDF5DatasetSmap:
+    """Paired video + segmentation-map clips from two aligned HDF5 files
+    (data.py:580-627): every possible `sequence_length` window is a sample."""
+
+    def __init__(self, data_file: str, data_file_cond: str, sequence_length: int,
+                 train: bool = True, resolution: int = 64):
+        import h5py
+
+        self.sequence_length = sequence_length
+        self.resolution = resolution
+        prefix = "train" if train else "test"
+        self._h5 = h5py.File(data_file, "r")
+        self._h5c = h5py.File(data_file_cond, "r")
+        self._images = self._h5[f"{prefix}_data"]
+        self._images2 = self._h5c[f"{prefix}_data"]
+        idx = self._h5[f"{prefix}_idx"][:]
+        self._splits = []
+        for i in range(len(idx) - 1):
+            start, end = int(idx[i]), int(idx[i + 1])
+            self._splits.extend(
+                (start + j, start + j + sequence_length)
+                for j in range(end - start - sequence_length + 1))
+
+    def __len__(self) -> int:
+        return len(self._splits)
+
+    def __getitem__(self, idx: int) -> Dict:
+        s, e = self._splits[idx]
+        video = _center_crop_resize(np.asarray(self._images[s:e]), self.resolution)
+        smap = np.asarray(self._images2[s:e])
+        return {
+            "video": video.astype(np.float32) / 255.0 - 0.5,
+            "smap": smap,
+            "label": -1,
+        }
+
+
+class HDF5DatasetText:
+    """Video clips + raw caption strings (data.py:629-702); captions are
+    tokenized with the byte-BPE tokenizer (data/text_tokenizer.py)."""
+
+    def __init__(self, data_file: str, sequence_length: int, train: bool = True,
+                 resolution: int = 64, text_len: int = 77,
+                 bpe_path: Optional[str] = None, seed: int = 1234):
+        import h5py
+
+        from .text_tokenizer import SimpleTokenizer
+
+        self.sequence_length = sequence_length
+        self.resolution = resolution
+        self.text_len = text_len
+        self.rng = np.random.RandomState(seed)
+        self.tokenizer = SimpleTokenizer(bpe_path)
+        prefix = "train" if train else "test"
+        self._h5 = h5py.File(data_file, "r")
+        self._images = self._h5[f"{prefix}_data"]
+        self._idx = self._h5[f"{prefix}_idx"][:-1]
+        self._text = self._h5[f"{prefix}_text"]
+
+    def __len__(self) -> int:
+        return len(self._idx)
+
+    def __getitem__(self, idx: int) -> Dict:
+        start = int(self._idx[idx])
+        end = int(self._idx[idx + 1]) if idx < len(self._idx) - 1 else len(self._images)
+        span = end - start - self.sequence_length
+        if span <= 0:
+            return self[(idx + 1) % len(self)]
+        start = start + self.rng.randint(0, span)
+        clip = _center_crop_resize(
+            np.asarray(self._images[start:start + self.sequence_length]),
+            self.resolution)
+        raw = self._text[idx]
+        text = raw.decode() if isinstance(raw, bytes) else str(raw)
+        return {
+            "video": clip.astype(np.float32) / 255.0 - 0.5,
+            "text": np.asarray(self.tokenizer(text, self.text_len), np.int32),
+            "label": -1,
+        }

@@ -26,6 +26,18 @@ from flax import serialization
 from .trainer import TokenizerTrainState, TokenizerTrainer
 
 
+def _cached_by_trainer(fn):
+    cache: Dict[int, Any] = {}
+
+    def wrapper(trainer):
+        key = id(trainer)
+        if key not in cache:
+            cache[key] = fn(trainer)
+        return cache[key]
+
+    return wrapper
+
+
 def save_state(path: str, state: TokenizerTrainState):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
@@ -93,6 +105,33 @@ class MetricsLogger:
             print(f"[step {step}] {short}", flush=True)
 
 
+@_cached_by_trainer
+def _eval_forward(trainer):
+    net = trainer.net
+
+    @jax.jit
+    def fwd(params, buffers, v):
+        rngs = ({"gaussian": jax.random.PRNGKey(0)}
+                if trainer.cfg.use_vae else None)
+        return net.apply({"params": params, "buffers": buffers},
+                         v, v.shape[1] == 1, rngs=rngs)
+
+    return fwd
+
+
+def _log_schedule(every: int):
+    """Exponential-then-periodic logging steps (callbacks.py:17-19):
+    1, 2, 4, ..., every, then every N."""
+    import math
+
+    exp = {2 ** n for n in range(int(math.log2(max(every, 2))) + 1)}
+
+    def should_log(step: int) -> bool:
+        return step in exp or (every > 0 and step % every == 0)
+
+    return should_log
+
+
 def train_tokenizer(
     trainer: TokenizerTrainer,
     batches: Iterable[Dict[str, np.ndarray]],
@@ -105,6 +144,9 @@ def train_tokenizer(
     resume: bool = True,
     seed: int = 0,
     initial_state: Optional[TokenizerTrainState] = None,
+    val_batches: Optional[Iterable[Dict[str, np.ndarray]]] = None,
+    val_every: int = 2000,
+    val_steps: int = 8,
 ):
     """Run the jitted GAN step over a batch stream.  Batches are dicts with
     'video' (B, T, H, W, C) channels-last float32."""
@@ -127,6 +169,9 @@ def train_tokenizer(
     # its own step once and is cached thereafter
     res_scales = list(trainer.train_cfg.resolution_scale or [])
     res_rng = np.random.RandomState(seed + 17)
+
+    should_log_img = _log_schedule(img_every)
+    val_it = iter(val_batches) if val_batches is not None else None
 
     start = int(state.step)
     it = iter(batches)
@@ -151,7 +196,28 @@ def train_tokenizer(
         if step % ckpt_every == 0 and step > start:
             save_state(os.path.join(root_dir, "checkpoints",
                                     f"step_{step:08d}.msgpack"), state)
-        if img_every and step % img_every == 0:
+
+        # validation pass (reference validation_step, omnitokenizer.py:608-618)
+        if val_it is not None and step > start and step % val_every == 0:
+            val_metrics = []
+            for _ in range(val_steps):
+                vb = next(val_it)
+                vv = jnp.asarray(vb["video"], jnp.float32)
+                if vv.ndim == 4:
+                    vv = vv[:, None]
+                if mesh is not None:
+                    vv = jax.device_put(vv, NamedSharding(mesh, P("data")))
+                recon, aux = _eval_forward(trainer)(state.params_g, state.buffers, vv)
+                val_metrics.append({
+                    "val/recon_loss": float(jnp.mean(jnp.abs(recon - vv))),
+                    "val/commitment_loss": float(aux["commitment_loss"]),
+                })
+            agg = {k: float(np.mean([m[k] for m in val_metrics]))
+                   for k in val_metrics[0]}
+            logger.log(step, agg)
+            print(f"[val @ {step}] {agg}", flush=True)
+
+        if img_every and should_log_img(step):
             if recon_fn is None:
                 net = trainer.net
 

@@ -102,3 +102,40 @@ def test_diffusion_adapter():
     rec = ad.decode(z, is_image=True)
     assert rec.shape == (1, 3, 32, 32)
     assert ad.latent_shape(False) == (8, 3, 8, 8)
+
+
+def test_hdf5_smap(tmp_path):
+    import h5py
+
+    from omnitokenizer_tpu.data.hdf5 import HDF5DatasetSmap
+
+    v = (RNG.rand(30, 24, 24, 3) * 255).astype(np.uint8)
+    s = RNG.randint(0, 20, (30, 24, 24, 1)).astype(np.uint8)
+    for name, data in (("v.h5", v), ("s.h5", s)):
+        with h5py.File(tmp_path / name, "w") as f:
+            f["train_data"] = data
+            f["train_idx"] = np.array([0, 15, 30], np.int64)
+    ds = HDF5DatasetSmap(str(tmp_path / "v.h5"), str(tmp_path / "s.h5"),
+                         sequence_length=8, resolution=24)
+    assert len(ds) == 2 * (15 - 8 + 1)
+    sample = ds[0]
+    assert sample["video"].shape == (8, 24, 24, 3)
+    assert sample["smap"].shape == (8, 24, 24, 1)
+
+
+def test_hdf5_text(tmp_path):
+    import h5py
+
+    from omnitokenizer_tpu.data.hdf5 import HDF5DatasetText
+
+    v = (RNG.rand(40, 24, 24, 3) * 255).astype(np.uint8)
+    with h5py.File(tmp_path / "t.h5", "w") as f:
+        f["train_data"] = v
+        f["train_idx"] = np.array([0, 20, 40], np.int64)
+        f["train_text"] = np.array([b"a cat jumps", b"a dog runs"])
+    ds = HDF5DatasetText(str(tmp_path / "t.h5"), sequence_length=8,
+                         resolution=24, text_len=16)
+    s = ds[0]
+    assert s["video"].shape == (8, 24, 24, 3)
+    assert s["text"].shape == (16,)
+    assert s["text"].dtype == np.int32
