@@ -1,15 +1,21 @@
 """Fused small-N cosine attention Pallas kernel (temporal transformer).
 
 The temporal attention runs on (b*h*w, t, dim) tensors with t <= 8 latent
-frames.  Everything here operates on full (TILE_B, H*D) lane tiles — no
-per-head slicing, no relayouts:
+frames.  Kernel I/O is TWO-DIMENSIONAL (B, N*lanes): with N=5 a 3D block
+would pad the 5-sublane dim to 8 and force XLA to materialize relayout
+copies of every operand (trace-verified ~2 ms/layer); the flat layout is a
+pure bitcast of the projection outputs.  Inside the kernel everything runs
+on full (TILE_B, H*D) lane tiles:
 
  * per-head reductions (l2norm sums, score taps) are ONE matmul with a
    block-indicator matrix Eᵀ (H*D, H): columns of ones over each head's
-   64-lane segment — the MXU does the segmented reduction;
+   lane segment — the MXU does the segmented reduction;
  * per-head broadcasts (inv-norms, softmax weights) are the transposed
    expansion p @ E (H, H*D);
  * softmax over the N taps runs on (TILE_B, H) tiles in f32.
+
+kv rows keep the projection's flattened (N, 2*H*D) order: k_t occupies lanes
+[t*2HD, t*2HD+HD), v_t the following HD lanes.
 
 Numerics match ops.attention: l2norm(q)*q_scale etc., f32 logits/softmax,
 optional causal mask.
@@ -44,22 +50,18 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, e_ref, o_ref, *,
     ks = ks_ref[:]
     HD = heads * dim_head
 
-    def norm(ref, t_scale, lo=0):
-        outs = []
-        for t in range(n):
-            x = ref[:, t, lo:lo + HD].astype(jnp.float32)  # (TB, HD)
-            ss = jax.lax.dot_general(x * x, E, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)  # (TB, H)
-            inv = jax.lax.rsqrt(ss + 1e-24)
-            invf = jax.lax.dot_general(inv, E, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)  # (TB, HD)
-            outs.append(x * invf * t_scale)
-        return outs  # list of (TB, HD) f32
+    def l2s(x, t_scale):
+        ss = jax.lax.dot_general(x * x, E, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (TB, H)
+        inv = jax.lax.rsqrt(ss + 1e-24)
+        invf = jax.lax.dot_general(inv, E, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (TB, HD)
+        return x * invf * t_scale
 
-    qn = norm(q_ref, qs)
-    # k lives in the first half of the fused kv tensor (avoids the HBM copy
-    # XLA emits when splitting the to_kv projection)
-    kn = norm(kv_ref, ks, lo=0)
+    qn = [l2s(q_ref[:, t * HD:(t + 1) * HD].astype(jnp.float32), qs)
+          for t in range(n)]
+    kn = [l2s(kv_ref[:, t * 2 * HD:t * 2 * HD + HD].astype(jnp.float32), ks)
+          for t in range(n)]
 
     # score taps s[i][j]: (TB, H) f32
     s = [[None] * n for _ in range(n)]
@@ -85,9 +87,10 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, e_ref, o_ref, *,
                 continue
             w = jax.lax.dot_general((ej * inv), E, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)  # (TB, HD)
-            term = w * kv_ref[:, j, HD:].astype(jnp.float32)
+            vj = kv_ref[:, j * 2 * HD + HD:(j + 1) * 2 * HD].astype(jnp.float32)
+            term = w * vj
             acc = term if acc is None else acc + term
-        o_ref[:, i, :] = acc.astype(o_ref.dtype)
+        o_ref[:, i * HD:(i + 1) * HD] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "scale",
@@ -100,10 +103,14 @@ def small_n_attention(q: jnp.ndarray, kv: jnp.ndarray,
     Performs l2norm + q/k scaling + softmax(q k^T * scale [causal]) v."""
     B, N, HD = q.shape
     assert kv.shape == (B, N, 2 * HD)
+    # flatten to 2D: bitcasts, no 5-sublane padding
+    q2 = q.reshape(B, N * HD)
+    kv2 = kv.reshape(B, N * 2 * HD)
+
     b_pad = ((B + TILE_B - 1) // TILE_B) * TILE_B
     if b_pad != B:
-        q = jnp.pad(q, ((0, b_pad - B), (0, 0), (0, 0)))
-        kv = jnp.pad(kv, ((0, b_pad - B), (0, 0), (0, 0)))
+        q2 = jnp.pad(q2, ((0, b_pad - B), (0, 0)))
+        kv2 = jnp.pad(kv2, ((0, b_pad - B), (0, 0)))
     qs = jnp.tile(q_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
     ks = jnp.tile(k_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
     E = jnp.asarray(_block_indicator(heads, dim_head))
@@ -113,15 +120,15 @@ def small_n_attention(q: jnp.ndarray, kv: jnp.ndarray,
                           scale=scale, causal=causal),
         grid=(b_pad // TILE_B,),
         in_specs=[
-            pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, N, 2 * HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, N * HD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, N * 2 * HD), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HD, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_B, N, HD), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((TILE_B, N * HD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, N, HD), kv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, N * HD), kv.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -130,8 +137,8 @@ def small_n_attention(q: jnp.ndarray, kv: jnp.ndarray,
             transcendentals=b_pad * heads * N * N,
         ),
         interpret=interpret,
-    )(q, kv, qs, ks, E)
-    return out[:B]
+    )(q2, kv2, qs, ks, E)
+    return out[:B].reshape(B, N, HD)
 
 
 def small_n_supported(n: int, bias, backend_check: bool = True) -> bool:
