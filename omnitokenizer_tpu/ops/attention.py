@@ -197,13 +197,35 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = int(self.mult * (2.0 / 3.0) * self.dim)
-        x = LayerNorm(self.dim, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
-                     precision=mm_precision(self.dtype), name="proj_in")(x)
-        val, gate = jnp.split(x, 2, axis=-1)
-        x = jax.nn.gelu(gate, approximate=False) * val
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        precision=mm_precision(self.dtype), name="proj_out")(x)
+
+        # parameters live in the standard module layout either way, so
+        # checkpoints and the torch converter are unaffected by the fusion
+        ln_w = self.param("norm_weight", nn.initializers.ones,
+                          (self.dim,), jnp.float32)
+        ln_b = self.param("norm_bias", nn.initializers.zeros,
+                          (self.dim,), jnp.float32)
+        w1 = self.param("proj_in_kernel", nn.initializers.lecun_normal(),
+                        (self.dim, inner * 2), jnp.float32)
+        w2 = self.param("proj_out_kernel", nn.initializers.lecun_normal(),
+                        (inner, self.dim), jnp.float32)
+
+        from .pallas.geglu_ff import geglu_ff, geglu_ff_supported
+
+        if geglu_ff_supported(self.dtype, self.dim) and not self.is_initializing():
+            flat = x.reshape(-1, self.dim)
+            out = geglu_ff(flat.astype(self.dtype), ln_w, ln_b, w1, w2)
+            return out.reshape(*x.shape[:-1], self.dim)
+
+        from .norms import _layer_norm
+
+        h = (_layer_norm(x) * ln_w + ln_b).astype(self.dtype)
+        prec = mm_precision(self.dtype)
+        h = jnp.dot(h, w1.astype(self.dtype), precision=prec,
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        val, gate = jnp.split(h, 2, axis=-1)
+        h = jax.nn.gelu(gate, approximate=False) * val
+        return jnp.dot(h.astype(self.dtype), w2.astype(self.dtype), precision=prec,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
 
 
 class Pooling(nn.Module):

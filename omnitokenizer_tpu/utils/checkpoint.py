@@ -156,11 +156,11 @@ def _map_transformer_key(parts, block_str):
         sub = rest[0]
         leaf = rest[1]
         if sub == "0":
-            return ([f"layers_{i}_ff", "norm", leaf], None)
+            return ([f"layers_{i}_ff", f"norm_{leaf}"], None)
         if sub == "1":
-            return ([f"layers_{i}_ff", "proj_in", "kernel"], "T")
+            return ([f"layers_{i}_ff", "proj_in_kernel"], "T")
         if sub == "4":
-            return ([f"layers_{i}_ff", "proj_out", "kernel"], "T")
+            return ([f"layers_{i}_ff", "proj_out_kernel"], "T")
     raise KeyError(f"unmapped transformer key {parts}")
 
 

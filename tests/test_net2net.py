@@ -11,8 +11,10 @@ from omnitokenizer_tpu.models.net2net import Net2NetTransformer
 
 RNG = np.random.RandomState(0)
 
+# resolution 16 / patch 4 -> 4x4 latent grid: keeps the compiled samplers
+# (16-step scans) fast enough for the suite budget on one CPU core
 TOK_CFG = TokenizerConfig(
-    embedding_dim=32, n_codes=64, codebook_dim=8, resolution=32,
+    embedding_dim=32, n_codes=64, codebook_dim=8, resolution=16,
     sequence_length=5, patch_size=4, temporal_patch_size=2,
     enc_block="tw", dec_block="tt", spatial_depth=2, temporal_depth=2,
     twod_window_size=4, dim_head=8, heads=4, spatial_pos="rope",
@@ -30,9 +32,9 @@ def n2n():
 
 
 def test_encode_to_z_shapes(n2n):
-    x = RNG.randn(2, 3, 32, 32).astype(np.float32) * 0.2
+    x = RNG.randn(2, 3, 16, 16).astype(np.float32) * 0.2
     z = n2n.encode_to_z(x, is_image=True)
-    assert z.shape == (2, 64)  # 8x8 grid flattened
+    assert z.shape == (2, 16)  # 4x4 grid flattened
     assert int(z.max()) < 64
 
 
@@ -49,22 +51,22 @@ def test_encode_to_c_variants(n2n):
 
 
 def test_class_conditional_generation_end_to_end(n2n):
-    sample = n2n.make_class_conditional_sampler(steps=64, top_k=8)
+    sample = n2n.make_class_conditional_sampler(steps=16, top_k=8)
     ids = sample(jnp.asarray([3], jnp.int32), jax.random.PRNGKey(0))
-    assert ids.shape == (1, 64)
+    assert ids.shape == (1, 16)
     assert int(ids.min()) >= 0 and int(ids.max()) < 64
     pixels = n2n.decode_to_pixels(ids, is_image=True)
-    assert pixels.shape == (1, 3, 32, 32)
+    assert pixels.shape == (1, 3, 16, 16)
 
 
 def test_frame_prediction_sampler(n2n):
     lt = TOK_CFG.latent_t  # 3
     sample = n2n.make_frame_prediction_sampler(lt, prefix_latent_frames=2, top_k=8)
-    video = RNG.randn(1, 3, 5, 32, 32).astype(np.float32) * 0.2
+    video = RNG.randn(1, 3, 5, 16, 16).astype(np.float32) * 0.2
     ids = sample(video, jax.random.PRNGKey(0))
-    assert ids.shape == (1, lt, 8, 8)
+    assert ids.shape == (1, lt, 4, 4)
     pixels = n2n.decode_to_pixels(np.asarray(ids).reshape(1, -1), is_image=False)
-    assert pixels.shape == (1, 3, 5, 32, 32)
+    assert pixels.shape == (1, 3, 5, 16, 16)
 
 
 def test_download_registry():

@@ -110,12 +110,12 @@ def test_geglu_feedforward_matches_torch():
     # torch oracle with the same weights
     inner = int(4.0 * 2 / 3 * dim)
     xt = torch.from_numpy(x)
-    ln = TF.layer_norm(xt, (dim,), torch.from_numpy(np.asarray(p["norm"]["weight"])),
-                       torch.from_numpy(np.asarray(p["norm"]["bias"])))
-    h = ln @ torch.from_numpy(np.asarray(p["proj_in"]["kernel"]))
+    ln = TF.layer_norm(xt, (dim,), torch.from_numpy(np.asarray(p["norm_weight"])),
+                       torch.from_numpy(np.asarray(p["norm_bias"])))
+    h = ln @ torch.from_numpy(np.asarray(p["proj_in_kernel"]))
     val, gate = h.chunk(2, dim=-1)
     h = TF.gelu(gate) * val
-    want = (h @ torch.from_numpy(np.asarray(p["proj_out"]["kernel"]))).numpy()
+    want = (h @ torch.from_numpy(np.asarray(p["proj_out_kernel"]))).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 

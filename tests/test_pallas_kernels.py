@@ -71,3 +71,34 @@ def test_vq_kernel_matches_xla_in_interpret_mode():
 
     want = np.asarray(vq_argmin_xla(jnp.asarray(flat), jnp.asarray(emb)))
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_geglu_ff_interpret_matches_unfused():
+    """Fused LN->GEGLU->Dense kernel vs the unfused bf16 reference path,
+    including the non-lane-aligned inner dim (1365 for dim=512)."""
+    from omnitokenizer_tpu.ops.pallas.geglu_ff import geglu_ff
+
+    M, D = 300, 512
+    inner = int(4.0 * 2 / 3 * D)
+    x = RNG.randn(M, D).astype(np.float32)
+    ln_w = RNG.randn(D).astype(np.float32)
+    ln_b = RNG.randn(D).astype(np.float32)
+    w1 = (RNG.randn(D, inner * 2) * 0.02).astype(np.float32)
+    w2 = (RNG.randn(inner, D) * 0.02).astype(np.float32)
+
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    xn = jnp.asarray((x - mean) / np.sqrt(var + 1e-5) * ln_w + ln_b, jnp.bfloat16)
+    h = jnp.dot(xn, jnp.asarray(w1, jnp.bfloat16), preferred_element_type=jnp.float32)
+    val, gate = jnp.split(h, 2, axis=-1)
+    act = (jax.nn.gelu(gate, approximate=False) * val).astype(jnp.bfloat16)
+    want = np.asarray(jnp.dot(act, jnp.asarray(w2, jnp.bfloat16),
+                              preferred_element_type=jnp.float32), np.float32)
+
+    got = np.asarray(
+        geglu_ff(jnp.asarray(x, jnp.bfloat16), jnp.asarray(ln_w), jnp.asarray(ln_b),
+                 jnp.asarray(w1), jnp.asarray(w2), interpret=True),
+        np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert got.shape == (M, D)
+    assert rel < 0.05, rel

@@ -17,7 +17,7 @@ from omnitokenizer_tpu.training.losses import (
 RNG = np.random.RandomState(0)
 
 SMALL = TokenizerConfig(
-    embedding_dim=32, n_codes=64, codebook_dim=8, resolution=32,
+    embedding_dim=32, n_codes=64, codebook_dim=8, resolution=16,
     sequence_length=5, patch_size=4, temporal_patch_size=2,
     enc_block="tw", dec_block="tt", spatial_depth=2, temporal_depth=2,
     twod_window_size=4, dim_head=8, heads=4, spatial_pos="rope",
@@ -129,9 +129,9 @@ def test_full_train_step_on_mesh():
         TrainConfig(grad_accumulates=1, warmup_steps=10, max_steps=100,
                     warmup_lr_init=1e-4, disloss_check_thres=None),
     )
-    state = trainer.init_state(seed=0, image_size=32)
+    state = trainer.init_state(seed=0, image_size=16)
     mesh = data_mesh()
-    batch = jnp.asarray(RNG.randn(16, 5, 32, 32, 3).astype(np.float32) * 0.2)
+    batch = jnp.asarray(RNG.randn(16, 5, 16, 16, 3).astype(np.float32) * 0.2)
 
     with mesh:
         batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
