@@ -101,19 +101,44 @@ class Attention(nn.Module):
         B, N, _ = x.shape
         inner = self.dim_head * self.heads
 
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        wq = self.param("to_q_kernel", nn.initializers.lecun_normal(),
+                        (self.dim, inner), jnp.float32)
+        wkv = self.param("to_kv_kernel", nn.initializers.lecun_normal(),
+                         (self.dim, inner * 2), jnp.float32)
+        wout = self.param("to_out_kernel", nn.initializers.lecun_normal(),
+                          (inner, self.dim), jnp.float32)
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+
+        def proj_out(o):
+            return jnp.dot(o.astype(self.dtype), wout.astype(self.dtype),
+                           precision=mm_precision(self.dtype),
+                           preferred_element_type=jnp.float32).astype(self.dtype)
+
         # Reference quirk (attention.py:404-412): for self-attention the k/v
         # projection reads the PRE-norm input (kv_input is bound before
         # x = self.norm(x)); only q sees the normed tokens.  Released
         # checkpoints were trained this way.
-        kv_input = x
-        x = LayerNormGamma(self.dim, dtype=self.dtype, name="norm")(x)
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     precision=mm_precision(self.dtype), name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
-                      precision=mm_precision(self.dtype), name="to_kv")(kv_input)
+        from .pallas.ln_qkv import ln_qkv, ln_qkv_supported
 
-        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
-        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        # (B, N, D) -> (B*N, D) is only a free bitcast when N fills whole
+        # sublane tiles; temporal N=5 would force a relayout copy each way
+        # (trace-verified: +1.6ms/step), so those keep the unfused path.
+        prec = mm_precision(self.dtype)
+        if (ln_qkv_supported(self.dtype, self.dim) and N % 8 == 0
+                and not self.is_initializing()):
+            q2, kv2 = ln_qkv(x.reshape(B * N, self.dim), gamma, wq, wkv)
+            q = q2.reshape(B, N, inner)
+            kv = kv2.reshape(B, N, inner * 2)
+        else:
+            from .norms import _layer_norm
+
+            xn = (_layer_norm(x) * gamma).astype(self.dtype)
+            q = jnp.dot(xn, wq.astype(self.dtype), precision=prec,
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+            kv = jnp.dot(x.astype(self.dtype), wkv.astype(self.dtype), precision=prec,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
 
         # fused Pallas fast paths on the (B, N, H*D) layout (bf16 serving
         # only — the f32 parity path keeps HIGHEST-precision XLA matmuls):
@@ -131,8 +156,7 @@ class Attention(nn.Module):
             out = small_n_attention(q, kv, q_scale, k_scale,
                                     heads=self.heads, dim_head=self.dim_head,
                                     scale=self.scale, causal=self.causal)
-            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                            precision=mm_precision(self.dtype), name="to_out")(out)
+            return proj_out(out)
         if fast_ok and cosine_mha_supported(N, bias_tag, self.causal):
             if self.spatial_pos == "rel" and is_spatial:
                 # parameter parity: the reference instantiates the CPB MLP
@@ -143,8 +167,7 @@ class Attention(nn.Module):
             out = cosine_mha(q, kv, q_scale, k_scale,
                              heads=self.heads, dim_head=self.dim_head,
                              scale=self.scale, use_rope=uses_rope)
-            return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                            precision=mm_precision(self.dtype), name="to_out")(out)
+            return proj_out(out)
 
         k, v = jnp.split(kv, 2, axis=-1)
 
@@ -179,8 +202,7 @@ class Attention(nn.Module):
 
         out = sdpa(q, k, v, self.scale, bias=bias, causal=self.causal)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        precision=mm_precision(self.dtype), name="to_out")(out)
+        return proj_out(out)
 
 
 class FeedForward(nn.Module):

@@ -119,11 +119,11 @@ def _map_transformer_key(parts, block_str):
             if rest[0] == "norm":
                 if rest[1] == "beta":
                     return None, None  # frozen zero buffer
-                return ([base, "norm", "gamma"], None)
+                return ([base, "norm_gamma"], None)
             if rest[0] == "context_norm":
                 return None, None  # unused in self-attention
             if rest[0] in ("to_q", "to_kv", "to_out"):
-                return ([base, rest[0], "kernel"], "T")
+                return ([base, f"{rest[0]}_kernel"], "T")
             if rest[0] in ("q_scale", "k_scale"):
                 return ([base, rest[0]], None)
             if rest[0] == "spatial_rel_pos_bias":

@@ -102,3 +102,32 @@ def test_geglu_ff_interpret_matches_unfused():
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert got.shape == (M, D)
     assert rel < 0.05, rel
+
+
+def test_ln_qkv_interpret_matches_unfused():
+    """Fused LNG+q/kv projection vs unfused math, incl. the pre-norm-kv
+    quirk (k/v project the raw input, only q sees the normed tokens)."""
+    from omnitokenizer_tpu.ops.pallas.ln_qkv import ln_qkv
+
+    M, D = 300, 512
+    x = RNG.randn(M, D).astype(np.float32)
+    gamma = RNG.randn(D).astype(np.float32)
+    wq = (RNG.randn(D, D) * 0.02).astype(np.float32)
+    wkv = (RNG.randn(D, 2 * D) * 0.02).astype(np.float32)
+
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    xn = jnp.asarray((x - mean) / np.sqrt(var + 1e-5) * gamma, jnp.bfloat16)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    want_q = np.asarray(jnp.dot(xn, jnp.asarray(wq, jnp.bfloat16),
+                                preferred_element_type=jnp.float32), np.float32)
+    want_kv = np.asarray(jnp.dot(xb, jnp.asarray(wkv, jnp.bfloat16),
+                                 preferred_element_type=jnp.float32), np.float32)
+
+    q, kv = ln_qkv(xb, jnp.asarray(gamma), jnp.asarray(wq), jnp.asarray(wkv),
+                   interpret=True)
+    q, kv = np.asarray(q, np.float32), np.asarray(kv, np.float32)
+    assert q.shape == (M, D) and kv.shape == (M, 2 * D)
+    for got, want in ((q, want_q), (kv, want_kv)):
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.05, rel

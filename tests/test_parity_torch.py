@@ -26,10 +26,10 @@ def torch_cosine_attention(x, p, heads, dim_head, spatial_pos, is_spatial,
     """Oracle for reference attention.py:395-486 (SDPA path semantics)."""
     xt = torch.from_numpy(x)
     kv_input = xt  # pre-norm quirk (:404-412)
-    gamma = torch.from_numpy(_np(p["norm"]["gamma"]))
+    gamma = torch.from_numpy(_np(p["norm_gamma"]))
     xn = TF.layer_norm(xt, xt.shape[-1:], gamma, torch.zeros_like(gamma))
-    q = xn @ torch.from_numpy(_np(p["to_q"]["kernel"]))
-    kvt = kv_input @ torch.from_numpy(_np(p["to_kv"]["kernel"]))
+    q = xn @ torch.from_numpy(_np(p["to_q_kernel"]))
+    kvt = kv_input @ torch.from_numpy(_np(p["to_kv_kernel"]))
     k, v = kvt.chunk(2, dim=-1)
     B, N, _ = x.shape
     q = q.view(B, N, heads, dim_head)
@@ -59,7 +59,7 @@ def torch_cosine_attention(x, p, heads, dim_head, spatial_pos, is_spatial,
     v = v.permute(0, 2, 1, 3)
     out = TF.scaled_dot_product_attention(q, k, v, is_causal=causal, scale=scale)
     out = out.permute(0, 2, 1, 3).reshape(B, N, heads * dim_head)
-    return (out @ torch.from_numpy(_np(p["to_out"]["kernel"]))).numpy()
+    return (out @ torch.from_numpy(_np(p["to_out_kernel"]))).numpy()
 
 
 def test_attention_parity_rel_temporal_causal():
