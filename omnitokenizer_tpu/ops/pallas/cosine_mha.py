@@ -71,11 +71,22 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, o_ref, *,
         s = jax.lax.dot_general(
             qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
-        oh = jax.lax.dot(p, vh, preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)
+        # Cosine-sim logits are bounded: q,k rows are unit vectors scaled
+        # elementwise, so |s*scale| <= scale * max|q_scale| * max|k_scale|
+        # (Cauchy-Schwarz).  Shifting by that per-call scalar replaces the
+        # per-row max pass; the -80 floor keeps every exp() strictly positive
+        # (a fully-floored row sums to 1024 * e^-80 ~ 1.8e-32 > f32 tiny), so
+        # the denominator never underflows to zero even for extreme learned
+        # scales.  The denominator itself rides the MXU: e @ [v | 1...] gives
+        # the unnormalized output and the row sum in one matmul — the only
+        # VPU sweeps over the (N, N) scores are the fused exp and bf16 cast.
+        bound = scale * jnp.max(jnp.abs(qs)) * jnp.max(jnp.abs(ks))
+        e = jnp.exp(jnp.maximum(s * scale - bound, -80.0)).astype(jnp.bfloat16)
+        v_ext = jnp.concatenate(
+            [vh, jnp.ones((n, dim_head), vh.dtype)], axis=1)
+        oe = jax.lax.dot(e, v_ext, preferred_element_type=jnp.float32)
+        oh = oe[:, :dim_head] / oe[:, dim_head:dim_head + 1]
         o_ref[0, :, sl] = oh.astype(o_ref.dtype)
 
 
