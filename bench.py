@@ -32,7 +32,6 @@ def main():
 
     B, T = 4, 17
 
-    @jax.jit
     def roundtrip(variables, x, acc):
         recon, aux = net.apply(variables, x, False)
         # scalar accumulator chains iterations on-device and forces full
@@ -43,13 +42,27 @@ def main():
 
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, 256, 256, 3), jnp.float32) * 0.2
 
-    acc = jnp.zeros((), jnp.float32)
-    float(roundtrip(variables, x, acc))  # warmup / compile
-
     iters = 10
+
+    @jax.jit
+    def run(variables, x):
+        # the iteration loop lives on-device (lax.scan) so the measurement is
+        # pure execution throughput; per-dispatch host/tunnel overhead (~2ms
+        # on the tunneled dev chip, absent on a production-attached host)
+        # would otherwise pollute a ~33ms step
+        def body(acc, _):
+            # data-dependence on acc (value-identical: acc*1e-30 underflows
+            # against x in f32) stops XLA hoisting the loop-invariant body
+            xi = x * (1.0 + acc * 1e-30)
+            return roundtrip(variables, xi, acc), ()
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              None, length=iters)
+        return acc
+
+    float(run(variables, x))  # warmup / compile
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = roundtrip(variables, x, acc)
+    acc = run(variables, x)
     assert np.isfinite(float(acc))  # single fetch = completion barrier
     dt = time.perf_counter() - t0
 
