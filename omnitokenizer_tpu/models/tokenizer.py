@@ -137,7 +137,15 @@ class Encoder(nn.Module):
         nh = nw = int(hw ** 0.5)
         x = x.reshape(b, t, nh, nw, d)
         video_shape2 = (b, t, nh, nw)
-        x = rearrange(x, "b t h w d -> (b h w) t d")
+        # bf16/TPU serving keeps the temporal stack token-flat 2D: the
+        # ((b h w) t) row order makes PEG's quirk reshape a bitcast and
+        # removes the 5-sublane relayout copies of the (B', t, d) form
+        flat_temporal = (cfg.dtype == jnp.bfloat16 and t <= 8
+                         and jax.default_backend() == "tpu")
+        if flat_temporal:
+            x = rearrange(x, "b t h w d -> (b h w t) d")
+        else:
+            x = rearrange(x, "b t h w d -> (b h w) t d")
         x = Transformer(
             dim=cfg.embedding_dim,
             depth=cfg.temporal_depth,
@@ -153,7 +161,10 @@ class Encoder(nn.Module):
             dtype=cfg.dtype,
             name="enc_temporal_transformer",
         )(x, video_shape2, is_spatial=False)
-        tokens = rearrange(x, "(b h w) t d -> b t h w d", b=b, h=nh, w=nw)
+        if flat_temporal:
+            tokens = rearrange(x, "(b h w t) d -> b t h w d", b=b, h=nh, w=nw, t=t)
+        else:
+            tokens = rearrange(x, "(b h w) t d -> b t h w d", b=b, h=nh, w=nw)
 
         if cfg.defer_spatial_pool and cfg.patch_embed == "linear":
             tokens = nn.avg_pool(
@@ -199,7 +210,12 @@ class Decoder(nn.Module):
         _, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
 
-        x = rearrange(tokens, "b t h w d -> (b h w) t d")
+        flat_temporal = (cfg.dtype == jnp.bfloat16 and t <= 8
+                         and jax.default_backend() == "tpu")
+        if flat_temporal:
+            x = rearrange(tokens, "b t h w d -> (b h w t) d")
+        else:
+            x = rearrange(tokens, "b t h w d -> (b h w) t d")
         x = Transformer(
             dim=cfg.embedding_dim,
             depth=cfg.temporal_depth,
@@ -220,7 +236,12 @@ class Decoder(nn.Module):
         # down_ratio-smaller grid; standard configs have down_ratio == 1.
         down_op = cfg.dec_block.count("n") + cfg.dec_block.count("r")
         down_ratio = 2 ** down_op
-        x = rearrange(x, "(b h w) t d -> (b t) (h w) d", b=b, h=h // down_ratio, w=w // down_ratio)
+        if flat_temporal:
+            x = rearrange(x, "(b h w t) d -> (b t) (h w) d",
+                          b=b, h=h // down_ratio, w=w // down_ratio, t=t)
+        else:
+            x = rearrange(x, "(b h w) t d -> (b t) (h w) d",
+                          b=b, h=h // down_ratio, w=w // down_ratio)
         x = Transformer(
             dim=cfg.embedding_dim,
             depth=len(cfg.dec_block),

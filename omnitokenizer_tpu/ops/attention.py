@@ -97,8 +97,9 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, is_spatial: bool = True) -> jnp.ndarray:
-        B, N, _ = x.shape
+    def __call__(self, x: jnp.ndarray, is_spatial: bool = True,
+                 n_frames: Optional[int] = None) -> jnp.ndarray:
+        was_flat = x.ndim == 2
         inner = self.dim_head * self.heads
 
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
@@ -112,16 +113,38 @@ class Attention(nn.Module):
         k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
 
         def proj_out(o):
-            return jnp.dot(o.astype(self.dtype), wout.astype(self.dtype),
-                           precision=mm_precision(self.dtype),
-                           preferred_element_type=jnp.float32).astype(self.dtype)
+            o = jnp.dot(o.astype(self.dtype), wout.astype(self.dtype),
+                        precision=mm_precision(self.dtype),
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+            return o.reshape(-1, self.dim) if was_flat else o
+
+        # Token-flat 2D path: rows in ((b h w) t) order, n_frames per group.
+        # The whole temporal stack (PEG / attention / FF / residuals) stays on
+        # one 2D buffer; the 3D (B', n, D) form pads n -> 8 sublanes and costs
+        # a relayout copy at every op boundary (trace: ~2 ms/step).
+        from .pallas.ln_qkv import ln_qkv, ln_qkv_supported
+        from .pallas.small_attn import small_n_attention_flat, small_n_supported
+
+        if was_flat:
+            assert n_frames is not None, "2D attention input needs n_frames"
+            needs_bias_flat = self.attn_bias_mode == "einsum" and self.causal
+            bias_tag = None if not needs_bias_flat else object()
+            if (self.dtype == jnp.bfloat16 and not self.is_initializing()
+                    and ln_qkv_supported(self.dtype, self.dim)
+                    and small_n_supported(n_frames, bias_tag)):
+                q2, kv2 = ln_qkv(x, gamma, wq, wkv)
+                out = small_n_attention_flat(
+                    q2, kv2, q_scale, k_scale, n=n_frames, heads=self.heads,
+                    dim_head=self.dim_head, scale=self.scale, causal=self.causal)
+                return proj_out(out)
+            x = x.reshape(-1, n_frames, self.dim)
+
+        B, N, _ = x.shape
 
         # Reference quirk (attention.py:404-412): for self-attention the k/v
         # projection reads the PRE-norm input (kv_input is bound before
         # x = self.norm(x)); only q sees the normed tokens.  Released
         # checkpoints were trained this way.
-        from .pallas.ln_qkv import ln_qkv, ln_qkv_supported
-
         # (B, N, D) -> (B*N, D) is only a free bitcast when N fills whole
         # sublane tiles; temporal N=5 would force a relayout copy each way
         # (trace-verified: +1.6ms/step), so those keep the unfused path.

@@ -145,3 +145,115 @@ def small_n_supported(n: int, bias, backend_check: bool = True) -> bool:
     if bias is not None or n > MAX_SMALL_N:
         return False
     return (not backend_check) or jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# token-flat variant: rows in ((b h w) t) order, groups of n contiguous rows
+# ---------------------------------------------------------------------------
+
+def _flat_kernel(q_ref, kv_ref, qs_ref, ks_ref, e_ref, o_ref, *,
+                 n: int, heads: int, dim_head: int, scale: float, causal: bool):
+    """Attention over each contiguous n-row group of a token-flat (M, H*D)
+    layout.  Frame taps become masked row shifts: query row m (frame
+    t = m % n) attends key row m + d for d in (-(n-1) .. n-1) with
+    0 <= t + d < n — shifts never cross a group because tiles are aligned to
+    group boundaries, so out-of-frame rows are simply masked out.  This keeps
+    the WHOLE temporal stack (PEG / attention / FF / residuals) on one 2D
+    buffer with zero relayout copies (the 3D (B', n, D) form pads n to 8
+    sublanes and costs a copy at every op boundary)."""
+    E = e_ref[:]          # (HD, H) f32
+    qs = qs_ref[:]        # (1, HD) f32
+    ks = ks_ref[:]
+    HD = heads * dim_head
+    TG = q_ref.shape[0]
+
+    def l2s(x, t_scale):
+        ss = jax.lax.dot_general(x * x, E, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        inv = jax.lax.rsqrt(ss + 1e-24)
+        invf = jax.lax.dot_general(inv, E, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return x * invf * t_scale
+
+    qn = l2s(q_ref[:].astype(jnp.float32), qs)           # (TG, HD)
+    kn = l2s(kv_ref[:, :HD].astype(jnp.float32), ks)
+    v = kv_ref[:, HD:].astype(jnp.float32)
+
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (TG, 1), 0) % n
+
+    def shift_rows(x, d):
+        if d == 0:
+            return x
+        dd = d % TG
+        return jnp.concatenate([x[dd:], x[:dd]], axis=0)
+
+    deltas = [d for d in range(-(n - 1), n) if not (causal and d > 0)]
+    scores = []
+    for d in deltas:
+        sd = jax.lax.dot_general(qn * shift_rows(kn, d), E,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        valid = jnp.logical_and(tpos + d >= 0, tpos + d < n)
+        scores.append(jnp.where(valid, sd, -1e9))         # (TG, H)
+
+    m = scores[0]
+    for sd in scores[1:]:
+        m = jnp.maximum(m, sd)
+    exps = [jnp.exp(sd - m) for sd in scores]
+    inv = 1.0 / sum(exps)
+    acc = None
+    for d, ed in zip(deltas, exps):
+        w = jax.lax.dot_general(ed * inv, E, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (TG, HD)
+        term = w * shift_rows(v, d)
+        acc = term if acc is None else acc + term
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "heads", "dim_head",
+                                             "scale", "causal", "interpret"))
+def small_n_attention_flat(q: jnp.ndarray, kv: jnp.ndarray,
+                           q_scale: jnp.ndarray, k_scale: jnp.ndarray,
+                           n: int, heads: int, dim_head: int, scale: float,
+                           causal: bool = False,
+                           interpret: bool = False) -> jnp.ndarray:
+    """q: (M, H*D); kv: (M, 2*H*D); M = R*n rows in ((b h w) t) token order.
+    Same math as small_n_attention, zero layout changes at the boundary."""
+    M, HD = q.shape
+    assert M % n == 0 and kv.shape == (M, 2 * HD)
+    # tile: multiple of lcm(n, 8) so groups never straddle tiles
+    import math
+    unit = n * 8 // math.gcd(n, 8)
+    tile = max(unit, (512 // unit) * unit)
+    m_pad = ((M + tile - 1) // tile) * tile
+    if m_pad != M:
+        q = jnp.pad(q, ((0, m_pad - M), (0, 0)))
+        kv = jnp.pad(kv, ((0, m_pad - M), (0, 0)))
+    qs = jnp.tile(q_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
+    ks = jnp.tile(k_scale.reshape(1, dim_head).astype(jnp.float32), (1, heads))
+    E = jnp.asarray(_block_indicator(heads, dim_head))
+
+    out = pl.pallas_call(
+        functools.partial(_flat_kernel, n=n, heads=heads, dim_head=dim_head,
+                          scale=scale, causal=causal),
+        grid=(m_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, HD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * HD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, HD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, HD), kv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m_pad * (2 * n - 1) * HD,
+            bytes_accessed=4 * m_pad * HD * q.dtype.itemsize,
+            transcendentals=m_pad * heads * (2 * n - 1),
+        ),
+        interpret=interpret,
+    )(q, kv, qs, ks, E)
+    return out[:M]

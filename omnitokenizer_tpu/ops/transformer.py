@@ -56,7 +56,8 @@ class Transformer(nn.Module):
                     attn_bias_mode=self.attn_bias_mode,
                     dtype=self.dtype,
                     name=f"layers_{i}_attn",
-                )(x, is_spatial=is_spatial) + x
+                )(x, is_spatial=is_spatial,
+                  n_frames=vs[1] if x.ndim == 2 else None) + x
                 x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x) + x
             elif blk == "w":
                 x = WindowAttention(

@@ -56,3 +56,31 @@ def test_small_n_attention_padding():
     assert got.shape == (B, N, H * D)
     want = _reference(q, k, v, qs, ks, H, D, 8.0, False)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flat_kernel_matches_grouped():
+    """Token-flat variant must reproduce the grouped kernel exactly: frame
+    taps as masked row shifts within contiguous n-row groups."""
+    from omnitokenizer_tpu.ops.pallas.small_attn import (
+        small_n_attention, small_n_attention_flat)
+
+    rng = np.random.RandomState(3)
+    R, n, H, D = 48, 5, 4, 32
+    HD = H * D
+    q3 = rng.randn(R, n, HD).astype(np.float32)
+    kv3 = rng.randn(R, n, 2 * HD).astype(np.float32)
+    qs = rng.rand(D).astype(np.float32) + 0.5
+    ks = rng.rand(D).astype(np.float32) + 0.5
+
+    for causal in (False, True):
+        want = np.asarray(small_n_attention(
+            jnp.asarray(q3, jnp.bfloat16), jnp.asarray(kv3, jnp.bfloat16),
+            jnp.asarray(qs), jnp.asarray(ks), heads=H, dim_head=D, scale=8.0,
+            causal=causal, interpret=True), np.float32)
+        got = np.asarray(small_n_attention_flat(
+            jnp.asarray(q3.reshape(R * n, HD), jnp.bfloat16),
+            jnp.asarray(kv3.reshape(R * n, 2 * HD), jnp.bfloat16),
+            jnp.asarray(qs), jnp.asarray(ks), n=n, heads=H, dim_head=D,
+            scale=8.0, causal=causal, interpret=True), np.float32)
+        rel = np.abs(got.reshape(R, n, HD) - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.03, rel
