@@ -111,7 +111,8 @@ def _map_transformer_key(parts, block_str):
     blk = block_str[i]
     if j == "0":  # PEG
         assert rest[0] == "dsconv"
-        return ([f"layers_{i}_peg", "dsconv", {"weight": "kernel", "bias": "bias"}[rest[1]]],
+        leaf = {"weight": "kernel", "bias": "bias"}[rest[1]]
+        return ([f"layers_{i}_peg", f"dsconv_{leaf}"],
                 "dwconv" if rest[1] == "weight" else None)
     if j == "1":  # self-attn / window-attn / pool / up
         base = f"layers_{i}_attn"

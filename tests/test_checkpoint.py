@@ -172,7 +172,7 @@ def test_transpose_semantics():
     np.testing.assert_array_equal(
         np.asarray(variables["params"]["pre_vq_conv"]["kernel"]), w.T)
     got = np.asarray(
-        variables["params"]["encoder"]["enc_spatial_transformer"]["layers_0_peg"]["dsconv"]["kernel"])
+        variables["params"]["encoder"]["enc_spatial_transformer"]["layers_0_peg"]["dsconv_kernel"])
     np.testing.assert_array_equal(got, np.transpose(dw, (2, 3, 4, 1, 0)))
 
 
