@@ -116,6 +116,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--gpus", type=int, default=0)
     p.add_argument("--sync_batchnorm", action="store_true")
     p.add_argument("--progress_bar_refresh_rate", type=int, default=50)
+    # wandb-compatible logging (reference WandbLogger, vqgan_train.py:149);
+    # falls back to an offline run dir when wandb isn't installed
+    p.add_argument("--wandb_project", type=str, default=None)
     return p
 
 

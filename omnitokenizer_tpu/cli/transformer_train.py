@@ -119,7 +119,8 @@ def main(argv=None):
         return params, opt_state, metrics, rng
 
     root = args.default_root_dir
-    logger = MetricsLogger(root)
+    logger = MetricsLogger(root, wandb_project=args.wandb_project,
+                           wandb_config=vars(args))
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
 

@@ -67,6 +67,7 @@ def main(argv=None):
         max_steps=args.max_steps, mesh=mesh, seed=args.seed,
         initial_state=state,
         val_batches=iter(val_loader) if val_loader is not None else None,
+        wandb_project=args.wandb_project, wandb_config=vars(args),
     )
 
 

@@ -82,12 +82,18 @@ def dump_recon_grid(root: str, split: str, step: int,
 
 
 class MetricsLogger:
-    def __init__(self, root: str, log_every: int = 50):
+    def __init__(self, root: str, log_every: int = 50,
+                 wandb_project: str = None, wandb_config: Dict[str, Any] = None):
         os.makedirs(root, exist_ok=True)
         self.path = os.path.join(root, "metrics.jsonl")
         self.log_every = log_every
         self._f = open(self.path, "a")
         self._t0 = time.time()
+        self._wandb = None
+        if wandb_project:
+            from ..utils.wandb_logger import WandbRun
+
+            self._wandb = WandbRun(project=wandb_project, config=wandb_config, root=root)
 
     def log(self, step: int, metrics: Dict[str, Any]):
         rec = {"step": step, "time": round(time.time() - self._t0, 2)}
@@ -95,6 +101,8 @@ class MetricsLogger:
                     if np.ndim(v) == 0})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "step"}, step=step)
         if step % self.log_every == 0:
             keys = ("recon_loss", "perceptual_loss", "discloss",
                     "perplexity", "avg_usage", "g_total")
@@ -147,6 +155,8 @@ def train_tokenizer(
     val_batches: Optional[Iterable[Dict[str, np.ndarray]]] = None,
     val_every: int = 2000,
     val_steps: int = 8,
+    wandb_project: Optional[str] = None,
+    wandb_config: Optional[Dict[str, Any]] = None,
 ):
     """Run the jitted GAN step over a batch stream.  Batches are dicts with
     'video' (B, T, H, W, C) channels-last float32."""
@@ -159,7 +169,8 @@ def train_tokenizer(
         state = load_state(ckpt, state)
 
     step_fn = jax.jit(trainer.train_step)
-    logger = MetricsLogger(root_dir, log_every)
+    logger = MetricsLogger(root_dir, log_every,
+                           wandb_project=wandb_project, wandb_config=wandb_config)
 
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
