@@ -79,6 +79,12 @@ class TokenizerConfig:
     # compute dtype for the transformer stack (params always f32)
     dtype: Any = jnp.float32
 
+    # bf16 serving fast path: fold the patchify LayerNorm+Linear into one
+    # strided conv and un-patchify via weight-side column permutation
+    # (ops/patch_fold.py); numerics differ from the reference path only at
+    # bf16 rounding level.  f32 always uses the exact reference path.
+    fast_patchify: bool = True
+
     @property
     def latent_t(self) -> int:
         """Latent frames for a full-length clip: 1 + (T-1)/pt."""

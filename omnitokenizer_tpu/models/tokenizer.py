@@ -30,6 +30,7 @@ from ..config import TokenizerConfig
 from ..ops.codebook import Codebook
 from ..ops.gaussian import DiagonalGaussian
 from ..ops.norms import LayerNorm
+from ..ops.patch_fold import DenseParams, NormParams, fast_to_pixels, folded_patch_embed
 from ..ops.precision import mm_precision
 from ..ops.transformer import Transformer
 
@@ -78,17 +79,32 @@ class Encoder(nn.Module):
         first, rest = video[:, :1], video[:, 1:]
 
         if cfg.patch_embed == "linear":
-            ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
-            ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
-            ff = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
-                          precision=mm_precision(cfg.dtype), name="to_patch_emb_first_frame_proj")(ff)
+            # bf16 fast path: LN1+Linear folded into one strided conv
+            # (ops/patch_fold.py); identical param tree, bf16-level numerics
+            fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
+            if fast:
+                g1, b1 = NormParams(C * p * p, name="to_patch_emb_first_frame_norm1")()
+                k1, kb1 = DenseParams(cfg.embedding_dim, C * p * p,
+                                      name="to_patch_emb_first_frame_proj")()
+                ff = folded_patch_embed(first, g1, b1, k1, kb1, 1, p, cfg.dtype)
+            else:
+                ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
+                ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
+                ff = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
+                              precision=mm_precision(cfg.dtype), name="to_patch_emb_first_frame_proj")(ff)
             ff = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_first_frame_norm2")(ff)
 
             if rest.shape[1] > 0:
-                rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
-                rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
-                rf = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
-                              precision=mm_precision(cfg.dtype), name="to_patch_emb_proj")(rf)
+                if fast:
+                    g2, b2 = NormParams(C * pt * p * p, name="to_patch_emb_norm1")()
+                    k2, kb2 = DenseParams(cfg.embedding_dim, C * pt * p * p,
+                                          name="to_patch_emb_proj")()
+                    rf = folded_patch_embed(rest, g2, b2, k2, kb2, pt, p, cfg.dtype)
+                else:
+                    rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
+                    rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
+                    rf = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
+                                  precision=mm_precision(cfg.dtype), name="to_patch_emb_proj")(rf)
                 rf = LayerNorm(cfg.embedding_dim, dtype=cfg.dtype, name="to_patch_emb_norm2")(rf)
                 tokens = jnp.concatenate([ff, rf], axis=1)
             else:
@@ -262,15 +278,30 @@ class Decoder(nn.Module):
 
         first_tok, rest_tok = x[:, :1], x[:, 1:]
         if cfg.patch_embed == "linear":
-            ff = nn.Dense(C * p * p, dtype=cfg.dtype,
-                          precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
-            first_frame = rearrange(ff, "b t h w (c p1 p2) -> b t (h p1) (w p2) c", p1=p, p2=p)
+            # bf16 fast path: weight-side column permutation makes the
+            # un-patchify a coarse-chunk transpose (ops/patch_fold.py)
+            fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
+            if fast:
+                kf, bf = DenseParams(C * p * p, x.shape[-1],
+                                     name="to_pixels_first_frame")()
+                first_frame = fast_to_pixels(first_tok, kf, bf, 1, p, C, cfg.dtype,
+                                             mm_precision(cfg.dtype))
+            else:
+                ff = nn.Dense(C * p * p, dtype=cfg.dtype,
+                              precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
+                first_frame = rearrange(ff, "b t h w (c p1 p2) -> b t (h p1) (w p2) c", p1=p, p2=p)
 
             if rest_tok.shape[1] > 0:
-                rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
-                              precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)
-                rest_frames = rearrange(
-                    rf, "b t h w (c pt p1 p2) -> b (t pt) (h p1) (w p2) c", pt=pt, p1=p, p2=p)
+                if fast:
+                    kr, br = DenseParams(C * pt * p * p, x.shape[-1],
+                                         name="to_pixels")()
+                    rest_frames = fast_to_pixels(rest_tok, kr, br, pt, p, C, cfg.dtype,
+                                                 mm_precision(cfg.dtype))
+                else:
+                    rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
+                                  precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)
+                    rest_frames = rearrange(
+                        rf, "b t h w (c pt p1 p2) -> b (t pt) (h p1) (w p2) c", pt=pt, p1=p, p2=p)
                 recon = jnp.concatenate([first_frame, rest_frames], axis=1)
             else:
                 recon = first_frame

@@ -221,10 +221,20 @@ def small_n_attention_flat(q: jnp.ndarray, kv: jnp.ndarray,
     Same math as small_n_attention, zero layout changes at the boundary."""
     M, HD = q.shape
     assert M % n == 0 and kv.shape == (M, 2 * HD)
-    # tile: multiple of lcm(n, 8) so groups never straddle tiles
+    # tile: multiple of lcm(n, 8) so groups never straddle tiles.  Prefer a
+    # tile that divides M exactly — the fallback jnp.pad copies the whole
+    # q/kv (63 MB for the flagship shapes) just to append a few rows
+    # (trace: ~0.5 ms of pad + ~0.1 ms for the out[:M] slice).
     import math
     unit = n * 8 // math.gcd(n, 8)
-    tile = max(unit, (512 // unit) * unit)
+    tile = None
+    if M % unit == 0:
+        for k in range(min(1024 // unit, M // unit), 0, -1):
+            if M % (k * unit) == 0:
+                tile = k * unit
+                break
+    if tile is None:
+        tile = max(unit, (512 // unit) * unit)
     m_pad = ((M + tile - 1) // tile) * tile
     if m_pad != M:
         q = jnp.pad(q, ((0, m_pad - M), (0, 0)))

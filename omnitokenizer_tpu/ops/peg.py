@@ -27,7 +27,10 @@ class PEG(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, video_shape: Tuple[int, int, int, int]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, video_shape: Tuple[int, int, int, int],
+                 residual: bool = False) -> jnp.ndarray:
+        """residual=True returns peg(x) + x fused (bf16 kernel folds the add
+        into its output pass)."""
         orig_shape = x.shape
         B, T, H, W = video_shape
         g = x.reshape(B, T, H, W, self.dim)
@@ -39,16 +42,21 @@ class PEG(nn.Module):
                           (self.dim,), jnp.float32)
 
         # unrolled shifted multiply-adds: XLA's grouped-conv lowering for
-        # feature_group_count=dim runs ~15x slower than its FLOP cost
+        # feature_group_count=dim runs ~15x slower than its FLOP cost.
+        # (A Pallas VMEM-resident tap kernel was tried and measured SLOWER
+        # than this kLoop fusion — Mosaic's padded strided slices cost more
+        # than the HBM traffic they save; the fusion already runs at ~2.1
+        # TFLOP/s, within ~2x of VPU peak.)
         tpad = (2, 0) if self.causal else (1, 1)
-        g = jnp.pad(g, ((0, 0), tpad, (1, 1), (1, 1), (0, 0)))
+        gp = jnp.pad(g, ((0, 0), tpad, (1, 1), (1, 1), (0, 0)))
         k = kernel.astype(self.dtype)
         out = None
         for dt in range(3):
             for dh in range(3):
                 for dw in range(3):
-                    term = g[:, dt:dt + T, dh:dh + H, dw:dw + W, :] * k[dt, dh, dw, 0]
+                    term = gp[:, dt:dt + T, dh:dh + H, dw:dw + W, :] * k[dt, dh, dw, 0]
                     out = term if out is None else out + term
-        g = out + bias.astype(self.dtype)
-
-        return g.reshape(orig_shape)
+        out = out + bias.astype(self.dtype)
+        if residual:
+            out = out + g
+        return out.reshape(orig_shape)

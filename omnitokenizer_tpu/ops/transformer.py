@@ -46,7 +46,8 @@ class Transformer(nn.Module):
         for i, blk in enumerate(self.block):
             if blk == "t":
                 if self.peg:
-                    x = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype, name=f"layers_{i}_peg")(x, vs) + x
+                    x = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype,
+                            name=f"layers_{i}_peg")(x, vs, residual=True)
                 x = Attention(
                     dim=self.dim,
                     dim_head=self.dim_head,
