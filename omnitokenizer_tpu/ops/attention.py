@@ -187,6 +187,11 @@ class Attention(nn.Module):
                 ContinuousPositionBias(dim=self.dim, heads=self.heads,
                                        name="spatial_rel_pos_bias")(
                     int(N ** 0.5), int(N ** 0.5))
+            # NOTE: fusing the out-projection into the kernel (wout=...)
+            # was measured NEUTRAL-to-slightly-worse (2143 -> 2126/2137
+            # f/s): the in-kernel per-head partials run the MXU at a
+            # 64-wide contraction and serialize behind the exp sweeps,
+            # while XLA's standalone Dense runs a full 128 contraction.
             out = cosine_mha(q, kv, q_scale, k_scale,
                              heads=self.heads, dim_head=self.dim_head,
                              scale=self.scale, use_rope=uses_rope)
