@@ -22,6 +22,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from omnitokenizer_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from omnitokenizer_tpu import OmniTokenizerVQGAN, imagenet_k600_config
     from omnitokenizer_tpu.models.tokenizer import OmniTokenizerNet
 

@@ -20,6 +20,10 @@ import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 
+from omnitokenizer_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 @pytest.fixture(scope="session")
 def devices():
