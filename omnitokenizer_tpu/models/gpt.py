@@ -7,7 +7,9 @@ logit blend (1+t)*logits - t*logits_uncond :427) and
 top_k_top_p_filtering :19-51.
 
 TPU-native design: sampling is a single `lax.scan` over decode steps with a
-static-shape KV cache carried as (n_layer, 2, B, heads, block_size, head_dim)
+static-shape KV cache carried as per-layer (k, v) leaves of
+(B, heads, block_size, head_dim) — separate leaves so XLA aliases the
+while-loop buffers and updates them in place (see init_cache)
 and `dynamic_update_slice` writes — one compiled graph instead of the
 reference's 5120-iteration eager Python loop.  Position masking uses iota
 comparisons, never dynamic shapes.
@@ -33,10 +35,22 @@ class TransformerBlock(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, x, cache=None, pos=None):
+    def __call__(self, x, cache=None, pos=None, slot=None, key_mask=None):
         """x: (B, T, C).  With cache=(k_cache, v_cache) of static length
-        `block_size` and scalar `pos`, performs one-token incremental decode
-        (T == 1) and returns updated (k_cache, v_cache)."""
+        `block_size` and scalar `pos`, performs incremental decode and
+        returns updated (k_cache, v_cache).
+
+        `slot` is the scalar cache position to write at; it defaults to
+        `pos` (the position-embedding index) but may differ — the
+        reference's CFG uncond stream keeps a DENSE kv sequence whose pe
+        indices are offset by +1 (gpt.py:251 `forward_uncond`).
+
+        `key_mask` (B, block) bool marks per-row attendable cache slots
+        (True = visible), ANDed with the causal mask.  This lets the fused
+        [cond|uncond] 2B cache hide a never-written slot for the uncond
+        rows with ONE shared dynamic_update_slice — a per-row write depth
+        would lower to a scatter that rewrites the whole multi-GB cache
+        every decode step."""
         cfg = self.cfg
         C = cfg.n_embd
         H = cfg.n_head
@@ -66,14 +80,17 @@ class TransformerBlock(nn.Module):
             new_cache = None
         else:
             k_cache, v_cache = cache  # (B, H, block, hd)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+            slot = pos if slot is None else slot
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, slot, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, slot, 0))
             sim = jnp.einsum("bhid,bhjd->bhij", q, k_cache, precision=prec,
                              preferred_element_type=jnp.float32) * scale
-            # query i (at absolute position pos+i) may attend keys j <= pos+i
+            # query i (at cache depth slot+i) may attend keys j <= slot+i
             i = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
             j = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 3)
-            sim = jnp.where(j > pos + i, NEG_INF, sim)
+            sim = jnp.where(j > slot + i, NEG_INF, sim)
+            if key_mask is not None:
+                sim = jnp.where(key_mask[:, None, None, :], sim, NEG_INF)
             attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
             y = jnp.einsum("bhij,bhjd->bhid", attn, v_cache, precision=prec)
             new_cache = (k_cache, v_cache)
@@ -101,10 +118,13 @@ class GPT(nn.Module):
 
     @nn.compact
     def __call__(self, idx: jnp.ndarray, cache=None, pos=None, cbox=None,
-                 ) -> Tuple[jnp.ndarray, Any]:
+                 slot=None, key_mask=None) -> Tuple[jnp.ndarray, Any]:
         """idx: (B, T) int tokens.  Full forward when cache is None; one-step
         incremental decode (T==1, scalar pos) otherwise.  `cbox` (B, 4) are
-        [y0, y1, x0, x1] crop boxes into the vtokens positional table."""
+        [y0, y1, x0, x1] crop boxes into the vtokens positional table.
+        `slot` (scalar) decouples the cache write depth from the pe index
+        `pos`; `key_mask` (B, block) marks per-row attendable cache slots
+        (see TransformerBlock)."""
         cfg = self.cfg
         tok = nn.Embed(cfg.vocab_size, cfg.n_embd, dtype=cfg.dtype, name="tok_emb")(idx)
         pos_emb = self.param("pos_emb", nn.initializers.zeros,
@@ -140,8 +160,10 @@ class GPT(nn.Module):
 
         new_caches = []
         for i in range(cfg.n_layer):
-            layer_cache = None if cache is None else (cache[0][i], cache[1][i])
-            x, lc = TransformerBlock(cfg, name=f"block{i}")(x, layer_cache, pos)
+            layer_cache = None if cache is None else cache[i]
+            x, lc = TransformerBlock(cfg, name=f"block{i}")(x, layer_cache, pos,
+                                                            slot=slot,
+                                                            key_mask=key_mask)
             if lc is not None:
                 new_caches.append(lc)
 
@@ -150,15 +172,21 @@ class GPT(nn.Module):
                           precision=mm_precision(cfg.dtype), name="head")(x)
         if cache is None:
             return logits.astype(jnp.float32), None
-        ks = jnp.stack([c[0] for c in new_caches])
-        vs = jnp.stack([c[1] for c in new_caches])
-        return logits.astype(jnp.float32), (ks, vs)
+        return logits.astype(jnp.float32), tuple(new_caches)
 
 
-def init_cache(cfg: GPTConfig, batch: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def init_cache(cfg: GPTConfig, batch: int) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]:
+    """Per-layer ((k, v), ...) leaves, each (B, H, block, hd).
+
+    Deliberately NOT one stacked (L, ...) array: separate carry leaves let
+    XLA's while-loop buffer aliasing update each layer's cache IN PLACE.
+    The stacked layout forced a slice + dynamic-update-slice + restack per
+    layer per decode step — a full copy of the multi-GB cache every token
+    (trace: 9.4 of 16 ms/step for the 24L/1536 LM at batch 8)."""
     hd = cfg.n_embd // cfg.n_head
-    shape = (cfg.n_layer, batch, cfg.n_head, cfg.block_size, hd)
-    return jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype)
+    shape = (batch, cfg.n_head, cfg.block_size, hd)
+    return tuple((jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+                 for _ in range(cfg.n_layer))
 
 
 # --------------------------------------------------------------------------
@@ -259,10 +287,17 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         caches_u = init_cache(cfg, B)
 
         logits_c, caches_c = gpt.apply({"params": params}, prefix, caches_c, 0)
-        # uncond stream sees only sos, placed at position 1
-        # (gpt.py:410 runs it with past_length = n+cond_len-2, forward_uncond
-        # offsets the position embedding by +1)
-        logits_u, caches_u = gpt.apply({"params": params}, sos, caches_u, 1)
+        # uncond stream sees only sos at pe index 0 / cache slot 0; its
+        # generated tokens stay DENSE in the cache (slot 1+i) while sharing
+        # the cond stream's pe indices (2+i) — exactly the reference's
+        # `forward_uncond` +1 pe offset over a gapless past (gpt.py:251,410)
+        logits_u, caches_u = gpt.apply({"params": params}, sos, caches_u, 0)
+        # The two CFG streams ride ONE cache of batch 2B ([cond | uncond]):
+        # incremental decode is weight-bandwidth-bound on TPU, so one fused
+        # 2B step halves the per-token weight reads vs the reference's two
+        # sequential forwards (gpt.py:418-426).
+        caches = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), caches_c, caches_u)
 
         def blend(lc, lu, i):
             ratio = jnp.where(scale_cfg, i.astype(jnp.float32), 1.0)
@@ -274,17 +309,27 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
             sub, blend(logits_c[:, -1], logits_u[:, -1], jnp.asarray(0)),
             1.0, top_k, top_p, greedy)
 
-        def body(carry, i):
-            caches_c, caches_u, tok, key = carry
-            key, sub = jax.random.split(key)
-            lc, caches_c = gpt.apply({"params": params}, tok[:, None], caches_c, L + i)
-            lu, caches_u = gpt.apply({"params": params}, tok[:, None], caches_u, L + i)
-            nxt = _sample_token(sub, blend(lc[:, -1], lu[:, -1], i + 1),
-                                1.0, top_k, top_p, greedy)
-            return (caches_c, caches_u, nxt, key), tok
+        # uncond rows never write cache slot 1 (their past is [sos at 0,
+        # tokens at 2..]); mask that slot out for them — same key SET as the
+        # reference's dense uncond past, placement-invariant under softmax
+        jcol = jnp.arange(cfg.block_size)
+        row_mask = jnp.concatenate([
+            jnp.ones((B, cfg.block_size), bool),
+            jnp.broadcast_to(jcol != 1, (B, cfg.block_size))])
 
-        (_, _, last, _), toks = jax.lax.scan(
-            body, (caches_c, caches_u, first, key), jnp.arange(steps - 1))
+        def body(carry, i):
+            caches, tok, key = carry
+            key, sub = jax.random.split(key)
+            tok2 = jnp.concatenate([tok, tok], axis=0)
+            # one shared write depth + pe index L+i for all 2B rows
+            logits, caches = gpt.apply({"params": params}, tok2[:, None], caches,
+                                       L + i, key_mask=row_mask)
+            nxt = _sample_token(sub, blend(logits[:B, -1], logits[B:, -1], i + 1),
+                                1.0, top_k, top_p, greedy)
+            return (caches, nxt, key), tok
+
+        (_, last, _), toks = jax.lax.scan(
+            body, (caches, first, key), jnp.arange(steps - 1))
         toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
         return toks
 

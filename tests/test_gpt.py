@@ -108,6 +108,43 @@ def test_cfg_sampler_runs(gpt_params):
     assert int(toks.min()) >= 0 and int(toks.max()) < 50
 
 
+def test_cfg_sampler_fused_matches_dual_stream(gpt_params):
+    """The fused 2B-cache CFG decode must equal running the cond and uncond
+    streams separately with the reference semantics: dense uncond past
+    (sos at slot 0/pe 0, token i at slot 1+i) with pe index 2+i, blended
+    logits (1+t)*cond - t*uncond, greedy."""
+    gpt = GPT(CFG)
+    steps, B, t = 6, 2, 1.5
+    cls = jnp.asarray([[3], [7]], jnp.int32)
+    c = cls + 1
+    sos = jnp.zeros_like(c)
+    prefix = jnp.concatenate([sos, c], axis=1)
+
+    cache_c = init_cache(CFG, B)
+    cache_u = init_cache(CFG, B)
+    lc, cache_c = gpt.apply({"params": gpt_params}, prefix, cache_c, 0)
+    lu, cache_u = gpt.apply({"params": gpt_params}, sos, cache_u, 0)
+
+    def blend(lc, lu):
+        return (1 + t) * lc - t * lu
+
+    toks = []
+    tok = jnp.argmax(blend(lc[:, -1], lu[:, -1]), axis=-1)
+    for i in range(steps - 1):
+        toks.append(tok)
+        lc, cache_c = gpt.apply({"params": gpt_params}, tok[:, None],
+                                cache_c, 2 + i, slot=2 + i)
+        lu, cache_u = gpt.apply({"params": gpt_params}, tok[:, None],
+                                cache_u, 2 + i, slot=1 + i)
+        tok = jnp.argmax(blend(lc[:, -1], lu[:, -1]), axis=-1)
+    toks.append(tok)
+    want = np.stack([np.asarray(x) for x in toks], axis=1)
+
+    sample = make_cfg_sampler(CFG, steps=steps, cfg_ratio=t, greedy=True)
+    got = np.asarray(sample(gpt_params, cls, jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_net2net_loss():
     from omnitokenizer_tpu.models.net2net import Net2NetTransformer
 
