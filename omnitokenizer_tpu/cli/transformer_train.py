@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--sample_every_n_latent_frames", type=int, default=0)
     p.add_argument("--base_lr", type=float, default=4.5e-6)
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel size: Megatron-layout shardings over "
+                        "a ('data','model') mesh (parallel/tp.py); n_head and "
+                        "4*n_embd must be divisible by it")
     return p
 
 
@@ -103,8 +107,16 @@ def main(argv=None):
         tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accumulates)
 
     params = n2n.gpt_params
-    opt_state = tx.init(params)
-    mesh = data_mesh()
+    if args.model_parallel > 1:
+        from ..parallel import tp
+        assert args.n_head % args.model_parallel == 0, \
+            "n_head must divide by --model_parallel (head-aligned TP shards)"
+        mesh = tp.tp_mesh(args.model_parallel)
+        params = tp.shard_params(params, mesh)
+        opt_state = tp.sharded_opt_init(tx, params)
+    else:
+        mesh = data_mesh()
+        opt_state = tx.init(params)
     loader = VideoData(args, train=True,
                        process_index=jax.process_index(),
                        process_count=jax.process_count())
@@ -127,9 +139,17 @@ def main(argv=None):
     step = 0
     latest = find_latest_checkpoint(root)
     if latest:
+        tmpl_p, tmpl_o = params, opt_state
         with open(latest, "rb") as f:
             params, opt_state, step = serialization.from_bytes(
                 (params, opt_state, step), f.read())
+        # restore device placement (incl. TP shardings) from the templates
+        def replace_sharding(tmpl, tree):
+            return jax.tree_util.tree_map(
+                lambda t, x: jax.device_put(x, t.sharding)
+                if hasattr(t, "sharding") else x, tmpl, tree)
+        params = replace_sharding(tmpl_p, params)
+        opt_state = replace_sharding(tmpl_o, opt_state)
         print(f"auto-resumed from {latest} at step {step}")
 
     for batch in iter(loader):
