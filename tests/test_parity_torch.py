@@ -121,6 +121,75 @@ def test_window_attention_parity():
     np.testing.assert_allclose(got, out.numpy(), rtol=1e-3, atol=1e-4)
 
 
+def _torch_gpt_forward(p, cfg, idx, pe_idx):
+    """Full torch GPT forward with EXPLICIT position-embedding indices —
+    reproduces the reference's incremental decode math (gpt.py:236-275):
+    causal attention over the dense token sequence, pe rows `pe_idx`."""
+    tok_emb = torch.from_numpy(_np(p["tok_emb"]["embedding"]))
+    pos_emb = torch.from_numpy(_np(p["pos_emb"]))[0]
+    x = tok_emb[torch.from_numpy(idx)] + pos_emb[torch.from_numpy(pe_idx)]
+
+    def lin(bp, name, t):
+        return t @ torch.from_numpy(_np(bp[name]["kernel"])) + \
+            torch.from_numpy(_np(bp[name]["bias"]))
+
+    B, T, C = x.shape
+    H = cfg.n_head
+    for i in range(cfg.n_layer):
+        bp = p[f"block{i}"]
+        h = TF.layer_norm(x, (C,), torch.from_numpy(_np(bp["ln1"]["scale"])),
+                          torch.from_numpy(_np(bp["ln1"]["bias"])))
+        q = lin(bp, "query", h).view(B, T, H, C // H).transpose(1, 2)
+        k = lin(bp, "key", h).view(B, T, H, C // H).transpose(1, 2)
+        v = lin(bp, "value", h).view(B, T, H, C // H).transpose(1, 2)
+        y = TF.scaled_dot_product_attention(q, k, v, is_causal=True)
+        y = y.transpose(1, 2).reshape(B, T, C)
+        x = x + lin(bp, "proj", y)
+        h = TF.layer_norm(x, (C,), torch.from_numpy(_np(bp["ln2"]["scale"])),
+                          torch.from_numpy(_np(bp["ln2"]["bias"])))
+        h = TF.gelu(lin(bp, "fc", h))
+        x = x + lin(bp, "proj_out", h)
+    x = TF.layer_norm(x, (C,), torch.from_numpy(_np(p["ln_f"]["scale"])),
+                      torch.from_numpy(_np(p["ln_f"]["bias"])))
+    return (x @ torch.from_numpy(_np(p["head"]["kernel"]))).numpy()
+
+
+def test_cfg_sampling_parity_vs_reference_algorithm():
+    """Greedy CFG generation vs the reference sample_with_past_cfg algorithm
+    (gpt.py:387-444): cond stream [sos, c, x...] with dense pe; uncond
+    stream [sos, x...] with pe indices [0, 2, 3, ...] (forward_uncond's +1
+    offset, gpt.py:251); blend (1+t)*cond - t*uncond each step."""
+    from omnitokenizer_tpu.config import GPTConfig
+    from omnitokenizer_tpu.models.gpt import GPT, make_cfg_sampler
+
+    cfg = GPTConfig(vocab_size=40, block_size=24, n_layer=2, n_head=2, n_embd=16)
+    gpt = GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(5),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    steps, t = 6, 1.5
+    cls = np.asarray([[3], [11]], np.int64)
+
+    # torch reference loop (full recompute each step == growing KV cache)
+    seq_c = np.concatenate([np.zeros_like(cls), cls + 1], axis=1)  # [sos, c]
+    seq_u = np.zeros_like(cls)                                     # [sos]
+    toks = []
+    for n in range(steps):
+        pe_c = np.arange(seq_c.shape[1])
+        pe_u = np.concatenate([[0], np.arange(2, seq_u.shape[1] + 1)])
+        lc = _torch_gpt_forward(params, cfg, seq_c, pe_c)[:, -1]
+        lu = _torch_gpt_forward(params, cfg, seq_u, pe_u)[:, -1]
+        tok = np.argmax((1 + t) * lc - t * lu, axis=-1)[:, None]
+        toks.append(tok)
+        seq_c = np.concatenate([seq_c, tok], axis=1)
+        seq_u = np.concatenate([seq_u, tok], axis=1)
+    want = np.concatenate(toks, axis=1)
+
+    sample = make_cfg_sampler(cfg, steps=steps, cfg_ratio=t, greedy=True)
+    got = np.asarray(sample(params, jnp.asarray(cls, jnp.int32),
+                            jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_gpt_block_parity():
     """GPT causal self-attention block vs torch (reference gpt.py:74-167)."""
     from omnitokenizer_tpu.config import GPTConfig
