@@ -35,7 +35,8 @@ class TransformerBlock(nn.Module):
     cfg: GPTConfig
 
     @nn.compact
-    def __call__(self, x, cache=None, pos=None, slot=None, key_mask=None):
+    def __call__(self, x, cache=None, pos=None, slot=None, key_mask=None,
+                 kv_window=None):
         """x: (B, T, C).  With cache=(k_cache, v_cache) of static length
         `block_size` and scalar `pos`, performs incremental decode and
         returns updated (k_cache, v_cache).
@@ -50,7 +51,12 @@ class TransformerBlock(nn.Module):
         [cond|uncond] 2B cache hide a never-written slot for the uncond
         rows with ONE shared dynamic_update_slice — a per-row write depth
         would lower to a scatter that rewrites the whole multi-GB cache
-        every decode step."""
+        every decode step.
+
+        `kv_window` (static int) restricts attention to cache slots
+        [0, kv_window) — the caller guarantees slot+T <= kv_window.  Long
+        AR generation (5120-token video) is bound by the per-step cache
+        sweep; bucketed windows cut it to the written prefix."""
         cfg = self.cfg
         C = cfg.n_embd
         H = cfg.n_head
@@ -83,16 +89,20 @@ class TransformerBlock(nn.Module):
             slot = pos if slot is None else slot
             k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, slot, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, slot, 0))
-            sim = jnp.einsum("bhid,bhjd->bhij", q, k_cache, precision=prec,
+            # read window: only the written prefix when the caller bounds it
+            kw = k_cache if kv_window is None else k_cache[:, :, :kv_window]
+            vw = v_cache if kv_window is None else v_cache[:, :, :kv_window]
+            sim = jnp.einsum("bhid,bhjd->bhij", q, kw, precision=prec,
                              preferred_element_type=jnp.float32) * scale
             # query i (at cache depth slot+i) may attend keys j <= slot+i
             i = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
             j = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 3)
             sim = jnp.where(j > slot + i, NEG_INF, sim)
             if key_mask is not None:
-                sim = jnp.where(key_mask[:, None, None, :], sim, NEG_INF)
+                km = key_mask if kv_window is None else key_mask[:, :kv_window]
+                sim = jnp.where(km[:, None, None, :], sim, NEG_INF)
             attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
-            y = jnp.einsum("bhij,bhjd->bhid", attn, v_cache, precision=prec)
+            y = jnp.einsum("bhij,bhjd->bhid", attn, vw, precision=prec)
             new_cache = (k_cache, v_cache)
 
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, C)
@@ -118,7 +128,8 @@ class GPT(nn.Module):
 
     @nn.compact
     def __call__(self, idx: jnp.ndarray, cache=None, pos=None, cbox=None,
-                 slot=None, key_mask=None) -> Tuple[jnp.ndarray, Any]:
+                 slot=None, key_mask=None, kv_window=None,
+                 ) -> Tuple[jnp.ndarray, Any]:
         """idx: (B, T) int tokens.  Full forward when cache is None; one-step
         incremental decode (T==1, scalar pos) otherwise.  `cbox` (B, 4) are
         [y0, y1, x0, x1] crop boxes into the vtokens positional table.
@@ -163,7 +174,8 @@ class GPT(nn.Module):
             layer_cache = None if cache is None else cache[i]
             x, lc = TransformerBlock(cfg, name=f"block{i}")(x, layer_cache, pos,
                                                             slot=slot,
-                                                            key_mask=key_mask)
+                                                            key_mask=key_mask,
+                                                            kv_window=kv_window)
             if lc is not None:
                 new_caches.append(lc)
 
@@ -227,18 +239,65 @@ def _sample_token(key, logits, temperature, top_k, top_p, greedy=False):
 # compiled samplers
 # --------------------------------------------------------------------------
 
+def _cast_params_once(params, cfg: GPTConfig):
+    """Pre-cast f32 params to the compute dtype BEFORE the decode loop.
+
+    flax Dense casts its f32 kernels to bf16 at every call; inside the
+    decode `lax.scan` that is ~4 GB of extra HBM traffic per token for the
+    24L/1536 LM (read 2.7 GB f32 + write/read the bf16 copies) — XLA does
+    not hoist the multi-GB loop-invariant converts out of the while loop.
+    One explicit cast in the prelude makes the in-loop cast a no-op."""
+    if cfg.dtype == jnp.float32:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p, params)
+
+
+def _decode_segments(first_pos: int, n_iters: int, block_size: int,
+                     bucket: Optional[int]):
+    """Split `n_iters` decode iterations (cache writes at first_pos + i)
+    into segments with a static attention window: segment iterations
+    [off, off+n) attend only cache[:, :, :win).  One compiled scan body per
+    distinct window — long generation then pays for the written prefix
+    instead of the full block every step (the cache sweep dominates
+    5120-token video generation)."""
+    if not bucket or bucket >= n_iters:
+        return [(0, n_iters, None)]
+    segs = []
+    off = 0
+    while off < n_iters:
+        n = min(bucket, n_iters - off)
+        win = min(block_size, first_pos + off + n)
+        segs.append((off, n, win))
+        off += n
+    return segs
+
+
+def _run_segments(segs, body_for_win, carry):
+    toks_parts = []
+    for off, n, win in segs:
+        carry, toks = jax.lax.scan(body_for_win(win), carry,
+                                   jnp.arange(off, off + n))
+        toks_parts.append(toks)
+    toks = (toks_parts[0] if len(toks_parts) == 1
+            else jnp.concatenate(toks_parts, axis=0))
+    return carry, toks
+
+
 def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: float = 1.0,
-                 greedy: bool = False):
+                 greedy: bool = False, bucket: Optional[int] = None):
     """Compiled analogue of sample_with_past (gpt.py:327-358).
 
     Returns sample(params, cond, key) -> (B, steps) tokens, where `cond`
-    (B, L_cond) is the conditioning prefix.
+    (B, L_cond) is the conditioning prefix.  `bucket` enables segmented
+    attention windows for long generations (see _decode_segments).
     """
     gpt = GPT(cfg)
 
     @jax.jit
     def sample(params, cond, key):
+        params = _cast_params_once(params, cfg)
         B, L = cond.shape
         caches = init_cache(cfg, B)
 
@@ -247,16 +306,21 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         key, sub = jax.random.split(key)
         tok = _sample_token(sub, logits[:, -1], temperature, top_k, top_p, greedy)
 
-        def body(carry, i):
-            caches, tok, key = carry
-            key, sub = jax.random.split(key)
-            logits, caches = gpt.apply(
-                {"params": params}, tok[:, None], caches, L + i)
-            nxt = _sample_token(sub, logits[:, -1], temperature, top_k, top_p, greedy)
-            return (caches, nxt, key), tok
+        def body_for_win(win):
+            def body(carry, i):
+                caches, tok, key = carry
+                key, sub = jax.random.split(key)
+                logits, caches = gpt.apply(
+                    {"params": params}, tok[:, None], caches, L + i,
+                    kv_window=win)
+                nxt = _sample_token(sub, logits[:, -1], temperature, top_k,
+                                    top_p, greedy)
+                return (caches, nxt, key), tok
+            return body
 
-        (_, last, _), toks = jax.lax.scan(
-            body, (caches, tok, key), jnp.arange(steps - 1))
+        segs = _decode_segments(L, steps - 1, cfg.block_size, bucket)
+        (_, last, _), toks = _run_segments(segs, body_for_win,
+                                           (caches, tok, key))
         toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
         return toks
 
@@ -266,7 +330,8 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
 def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                      top_k: Optional[int] = None, top_p: float = 1.0,
                      cfg_ratio: float = 1.5, class_first: bool = False,
-                     scale_cfg: bool = False, greedy: bool = False):
+                     scale_cfg: bool = False, greedy: bool = False,
+                     bucket: Optional[int] = None):
     """Compiled analogue of sample_with_past_cfg (gpt.py:387-444): dual
     cond/uncond KV caches, blended logits (1+t)*cond - t*uncond.
 
@@ -277,6 +342,7 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
 
     @jax.jit
     def sample(params, cls, key):
+        params = _cast_params_once(params, cfg)
         B = cls.shape[0]
         c = cls + 1
         sos = jnp.zeros_like(c)
@@ -317,19 +383,23 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
             jnp.ones((B, cfg.block_size), bool),
             jnp.broadcast_to(jcol != 1, (B, cfg.block_size))])
 
-        def body(carry, i):
-            caches, tok, key = carry
-            key, sub = jax.random.split(key)
-            tok2 = jnp.concatenate([tok, tok], axis=0)
-            # one shared write depth + pe index L+i for all 2B rows
-            logits, caches = gpt.apply({"params": params}, tok2[:, None], caches,
-                                       L + i, key_mask=row_mask)
-            nxt = _sample_token(sub, blend(logits[:B, -1], logits[B:, -1], i + 1),
-                                1.0, top_k, top_p, greedy)
-            return (caches, nxt, key), tok
+        def body_for_win(win):
+            def body(carry, i):
+                caches, tok, key = carry
+                key, sub = jax.random.split(key)
+                tok2 = jnp.concatenate([tok, tok], axis=0)
+                # one shared write depth + pe index L+i for all 2B rows
+                logits, caches = gpt.apply({"params": params}, tok2[:, None],
+                                           caches, L + i, key_mask=row_mask,
+                                           kv_window=win)
+                nxt = _sample_token(sub, blend(logits[:B, -1], logits[B:, -1],
+                                               i + 1), 1.0, top_k, top_p, greedy)
+                return (caches, nxt, key), tok
+            return body
 
-        (_, last, _), toks = jax.lax.scan(
-            body, (caches, first, key), jnp.arange(steps - 1))
+        segs = _decode_segments(L, steps - 1, cfg.block_size, bucket)
+        (_, last, _), toks = _run_segments(segs, body_for_win,
+                                           (caches, first, key))
         toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
         return toks
 

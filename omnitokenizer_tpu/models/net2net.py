@@ -141,21 +141,24 @@ class Net2NetTransformer:
     # -- generation --------------------------------------------------------
     def make_class_conditional_sampler(self, steps: int, temperature: float = 1.0,
                                        top_k: Optional[int] = None, top_p: float = 1.0,
-                                       cfg_ratio: float = 1.5, use_cfg: bool = True):
+                                       cfg_ratio: float = 1.5, use_cfg: bool = True,
+                                       bucket: Optional[int] = None):
         """Returns sample(cls_ids (B,), key) -> clamped codebook ids (B, steps)
         (transformer_eval.py:27-91 semantics incl. the final clamp)."""
         cfg = self.cfg
         if use_cfg and cfg.starts_with_sos:
             sampler = make_cfg_sampler(
                 cfg.gpt, steps, temperature, top_k, top_p,
-                cfg_ratio=cfg_ratio, class_first=cfg.class_first)
+                cfg_ratio=cfg_ratio, class_first=cfg.class_first,
+                bucket=bucket)
 
             def sample(cls_ids, key):
                 toks = sampler(self.gpt_params, cls_ids.reshape(-1, 1), key)
                 return jnp.clip(toks - self.z_offset, 0,
                                 cfg.first_stage_vocab_size - 1)
         else:
-            sampler = make_sampler(cfg.gpt, steps, temperature, top_k, top_p)
+            sampler = make_sampler(cfg.gpt, steps, temperature, top_k, top_p,
+                                   bucket=bucket)
 
             def sample(cls_ids, key):
                 if cfg.unconditional:
@@ -175,12 +178,14 @@ class Net2NetTransformer:
     def make_frame_prediction_sampler(self, total_latent_frames: int,
                                       prefix_latent_frames: int = 2,
                                       temperature: float = 1.0,
-                                      top_k: Optional[int] = None, top_p: float = 1.0):
+                                      top_k: Optional[int] = None, top_p: float = 1.0,
+                                      bucket: Optional[int] = None):
         """Encode a video, keep the first `prefix_latent_frames` latent
         frames, AR-continue the rest, return full id grid (B, t, h, w)."""
         hw = self.tokenizer.cfg.latent_hw
         steps = (total_latent_frames - prefix_latent_frames) * hw * hw
-        sampler = make_sampler(self.cfg.gpt, steps, temperature, top_k, top_p)
+        sampler = make_sampler(self.cfg.gpt, steps, temperature, top_k, top_p,
+                               bucket=bucket)
 
         def sample(video, key):
             z = self.encode_to_z(video, is_image=False) + self.z_offset

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no_cfg", action="store_true")
+    ap.add_argument("--bucket", type=int, default=0)
     ap.add_argument("--n_layer", type=int, default=24)
     ap.add_argument("--n_head", type=int, default=16)
     ap.add_argument("--n_embd", type=int, default=1536)
@@ -46,11 +47,13 @@ def main():
     cls = jnp.asarray(np.arange(args.batch)[:, None] % 1000, jnp.int32)
 
     if args.no_cfg:
-        sample = make_sampler(cfg, steps=args.steps, top_k=100)
+        sample = make_sampler(cfg, steps=args.steps, top_k=100,
+                              bucket=args.bucket or None)
         run = lambda key: sample(params, jnp.concatenate(
             [jnp.zeros_like(cls), cls + 1], axis=1), key)
     else:
-        sample = make_cfg_sampler(cfg, steps=args.steps, top_k=100, cfg_ratio=1.5)
+        sample = make_cfg_sampler(cfg, steps=args.steps, top_k=100, cfg_ratio=1.5,
+                                  bucket=args.bucket or None)
         run = lambda key: sample(params, cls, key)
 
     toks = run(jax.random.PRNGKey(0))

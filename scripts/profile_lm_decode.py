@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/lm-decode-trace")
+    ap.add_argument("--cfg", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -29,7 +30,7 @@ def main():
     enable_persistent_cache()
 
     from omnitokenizer_tpu.config import GPTConfig
-    from omnitokenizer_tpu.models.gpt import GPT, make_sampler
+    from omnitokenizer_tpu.models.gpt import GPT, make_cfg_sampler, make_sampler
     from omnitokenizer_tpu.utils import profiling, trace_analysis
 
     cfg = GPTConfig(vocab_size=9193, block_size=1025, n_layer=24,
@@ -39,7 +40,11 @@ def main():
     cls = jnp.asarray(np.arange(args.batch)[:, None] % 1000, jnp.int32)
     prefix = jnp.concatenate([jnp.zeros_like(cls), cls + 1], axis=1)
 
-    sample = make_sampler(cfg, steps=args.steps, top_k=100)
+    if args.cfg:
+        sample = make_cfg_sampler(cfg, steps=args.steps, top_k=100)
+        prefix = cls
+    else:
+        sample = make_sampler(cfg, steps=args.steps, top_k=100)
     toks = sample(params, prefix, jax.random.PRNGKey(0))
     assert int(jnp.max(toks)) >= 0
 

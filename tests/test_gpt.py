@@ -145,6 +145,23 @@ def test_cfg_sampler_fused_matches_dual_stream(gpt_params):
     np.testing.assert_array_equal(got, want)
 
 
+def test_bucketed_sampler_matches_full_window(gpt_params):
+    """Segmented attention windows must not change greedy outputs."""
+    cls = jnp.asarray([[3], [7]], jnp.int32)
+    prefix = jnp.concatenate([jnp.zeros_like(cls), cls + 1], axis=1)
+    full = make_sampler(CFG, steps=7, greedy=True)
+    seg = make_sampler(CFG, steps=7, greedy=True, bucket=2)
+    np.testing.assert_array_equal(
+        np.asarray(full(gpt_params, prefix, jax.random.PRNGKey(0))),
+        np.asarray(seg(gpt_params, prefix, jax.random.PRNGKey(0))))
+
+    full_cfg = make_cfg_sampler(CFG, steps=7, greedy=True)
+    seg_cfg = make_cfg_sampler(CFG, steps=7, greedy=True, bucket=3)
+    np.testing.assert_array_equal(
+        np.asarray(full_cfg(gpt_params, cls, jax.random.PRNGKey(0))),
+        np.asarray(seg_cfg(gpt_params, cls, jax.random.PRNGKey(0))))
+
+
 def test_net2net_loss():
     from omnitokenizer_tpu.models.net2net import Net2NetTransformer
 
