@@ -31,7 +31,7 @@ def main():
     cfg = imagenet_k600_config().replace(dtype=jnp.bfloat16)
     wrapper = OmniTokenizerVQGAN.from_config(cfg, seed=0)
     net = wrapper.net
-    variables = wrapper.variables
+    variables = wrapper.serving_variables()
 
     B, T = 4, 17
 

@@ -261,13 +261,16 @@ def _decode_segments(first_pos: int, n_iters: int, block_size: int,
     distinct window — long generation then pays for the written prefix
     instead of the full block every step (the cache sweep dominates
     5120-token video generation)."""
-    if not bucket or bucket >= n_iters:
+    if not bucket:
         return [(0, n_iters, None)]
     segs = []
     off = 0
     while off < n_iters:
         n = min(bucket, n_iters - off)
-        win = min(block_size, first_pos + off + n)
+        # round the window up to a lane-friendly multiple of 256; even a
+        # single segment bounds the sweep to the written prefix instead of
+        # the full block (block 1025 vs 130 written for a 128-step run)
+        win = min(block_size, -(-(first_pos + off + n) // 256) * 256)
         segs.append((off, n, win))
         off += n
     return segs

@@ -45,6 +45,22 @@ class OmniTokenizerVQGAN:
         self.net = OmniTokenizerNet(cfg)
         self.variables = variables
 
+    def serving_variables(self) -> Dict[str, Any]:
+        """Variables with f32 params pre-cast to the compute dtype, ONCE.
+
+        The model casts its weights to `cfg.dtype` at every apply; callers
+        that loop (bench/eval) or jit a multi-step graph otherwise pay the
+        multi-hundred-MB f32->bf16 convert per call — XLA does not hoist
+        the loop-invariant converts out of while/scan loops.  Buffers
+        (codebook state) keep their dtype."""
+        if self.cfg.dtype == jnp.float32:
+            return self.variables
+        v = dict(self.variables)
+        v["params"] = jax.tree_util.tree_map(
+            lambda p: p.astype(self.cfg.dtype)
+            if getattr(p, "dtype", None) == jnp.float32 else p, v["params"])
+        return v
+
     # -- construction -----------------------------------------------------
     @classmethod
     def from_config(cls, cfg: TokenizerConfig, seed: int = 0) -> "OmniTokenizerVQGAN":
