@@ -12,6 +12,7 @@ Conv3d kernels laid out (kt,kh,kw,1,dim), codebook buffers copied verbatim).
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import os
 import re
@@ -314,7 +315,13 @@ def load_tokenizer_checkpoint(
     from ..models.tokenizer import OmniTokenizerNet
 
     if path.endswith(".msgpack"):
-        assert cfg is not None, "native checkpoints need an explicit config"
+        if cfg is None and os.path.exists(_cfg_sidecar_path(path)):
+            import json
+
+            with open(_cfg_sidecar_path(path)) as f:
+                cfg = config_from_json(json.load(f))
+        assert cfg is not None, \
+            "native checkpoint without a .cfg.json sidecar needs an explicit config"
         from ..models.wrapper import OmniTokenizerVQGAN
 
         tmp = OmniTokenizerVQGAN.from_config(cfg)
@@ -335,7 +342,36 @@ def load_tokenizer_checkpoint(
     return cfg, variables
 
 
-def save_tokenizer_checkpoint(path: str, variables: Dict[str, Any]):
+def _cfg_sidecar_path(path: str) -> str:
+    return path + ".cfg.json"
+
+
+def config_to_json(cfg: TokenizerConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = jnp.dtype(cfg.dtype).name
+    return d
+
+
+def config_from_json(d: dict) -> TokenizerConfig:
+    d = dict(d)
+    d["dtype"] = jnp.dtype(d.get("dtype", "float32"))
+    for k in ("resolution_scale",):
+        if k in d and isinstance(d[k], list):
+            d[k] = tuple(d[k])
+    return TokenizerConfig(**d)
+
+
+def save_tokenizer_checkpoint(path: str, variables: Dict[str, Any],
+                              cfg: Optional[TokenizerConfig] = None):
+    """Native msgpack save.  With `cfg`, a JSON sidecar (<path>.cfg.json)
+    makes the checkpoint self-describing — the analogue of the reference's
+    hparams namespace embedded in Lightning ckpts (omnitokenizer.py:208),
+    so `load_from_checkpoint(path)` needs no explicit config."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    if cfg is not None:
+        import json
+
+        with open(_cfg_sidecar_path(path), "w") as f:
+            json.dump(config_to_json(cfg), f, indent=1)
