@@ -111,6 +111,9 @@ def main(argv=None):
         from ..parallel import tp
         assert args.n_head % args.model_parallel == 0, \
             "n_head must divide by --model_parallel (head-aligned TP shards)"
+        assert (4 * args.n_embd) % args.model_parallel == 0 \
+            and args.n_embd % args.model_parallel == 0, \
+            "n_embd and 4*n_embd must divide by --model_parallel"
         mesh = tp.tp_mesh(args.model_parallel)
         params = tp.shard_params(params, mesh)
         opt_state = tp.sharded_opt_init(tx, params)

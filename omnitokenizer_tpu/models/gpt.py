@@ -240,17 +240,11 @@ def _sample_token(key, logits, temperature, top_k, top_p, greedy=False):
 # --------------------------------------------------------------------------
 
 def _cast_params_once(params, cfg: GPTConfig):
-    """Pre-cast f32 params to the compute dtype BEFORE the decode loop.
+    """Pre-cast f32 params to the compute dtype BEFORE the decode loop
+    (ops/precision.cast_f32_leaves; shared with the tokenizer wrapper)."""
+    from ..ops.precision import cast_f32_leaves
 
-    flax Dense casts its f32 kernels to bf16 at every call; inside the
-    decode `lax.scan` that is ~4 GB of extra HBM traffic per token for the
-    24L/1536 LM (read 2.7 GB f32 + write/read the bf16 copies) — XLA does
-    not hoist the multi-GB loop-invariant converts out of the while loop.
-    One explicit cast in the prelude makes the in-loop cast a no-op."""
-    if cfg.dtype == jnp.float32:
-        return params
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p, params)
+    return cast_f32_leaves(params, cfg.dtype)
 
 
 def _decode_segments(first_pos: int, n_iters: int, block_size: int,
@@ -261,7 +255,7 @@ def _decode_segments(first_pos: int, n_iters: int, block_size: int,
     distinct window — long generation then pays for the written prefix
     instead of the full block every step (the cache sweep dominates
     5120-token video generation)."""
-    if not bucket:
+    if not bucket or n_iters <= 0:
         return [(0, n_iters, None)]
     segs = []
     off = 0

@@ -46,19 +46,15 @@ class OmniTokenizerVQGAN:
         self.variables = variables
 
     def serving_variables(self) -> Dict[str, Any]:
-        """Variables with f32 params pre-cast to the compute dtype, ONCE.
+        """Variables with f32 params pre-cast to the compute dtype, ONCE
+        (ops/precision.cast_f32_leaves; shared with the LM samplers).
+        Buffers (codebook state) keep their dtype."""
+        from ..ops.precision import cast_f32_leaves
 
-        The model casts its weights to `cfg.dtype` at every apply; callers
-        that loop (bench/eval) or jit a multi-step graph otherwise pay the
-        multi-hundred-MB f32->bf16 convert per call — XLA does not hoist
-        the loop-invariant converts out of while/scan loops.  Buffers
-        (codebook state) keep their dtype."""
         if self.cfg.dtype == jnp.float32:
             return self.variables
         v = dict(self.variables)
-        v["params"] = jax.tree_util.tree_map(
-            lambda p: p.astype(self.cfg.dtype)
-            if getattr(p, "dtype", None) == jnp.float32 else p, v["params"])
+        v["params"] = cast_f32_leaves(v["params"], self.cfg.dtype)
         return v
 
     # -- construction -----------------------------------------------------

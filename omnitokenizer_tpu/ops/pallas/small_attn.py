@@ -233,7 +233,10 @@ def small_n_attention_flat(q: jnp.ndarray, kv: jnp.ndarray,
             if M % (k * unit) == 0:
                 tile = k * unit
                 break
-    if tile is None:
+    # a divide-exact tile below 256 rows (e.g. M with a large prime factor)
+    # would mean a grid of tiny matmuls — worse than one padded copy; fall
+    # back to the padded ~512-row tile in that case
+    if tile is None or (tile < min(256, M) and M > unit):
         tile = max(unit, (512 // unit) * unit)
     m_pad = ((M + tile - 1) // tile) * tile
     if m_pad != M:

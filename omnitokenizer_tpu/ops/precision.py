@@ -19,3 +19,19 @@ def mm_precision(dtype: Any) -> Optional[jax.lax.Precision]:
     if dtype == jnp.float32:
         return jax.lax.Precision.HIGHEST
     return None
+
+
+def cast_f32_leaves(tree, dtype):
+    """Pre-cast every f32 leaf of a param tree to the compute dtype, ONCE.
+
+    Models cast their weights to the compute dtype at every apply; callers
+    that loop (decode scans, bench/eval loops) otherwise pay the
+    multi-hundred-MB f32->bf16 convert per call — XLA does not hoist the
+    loop-invariant converts out of while/scan loops.  No-op for f32.
+    Shared by the LM samplers (models/gpt.py) and the tokenizer serving
+    wrapper (models/wrapper.py) so serving numerics stay in lockstep."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if getattr(p, "dtype", None) == jnp.float32 else p, tree)

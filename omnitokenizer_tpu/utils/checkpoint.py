@@ -355,9 +355,6 @@ def config_to_json(cfg: TokenizerConfig) -> dict:
 def config_from_json(d: dict) -> TokenizerConfig:
     d = dict(d)
     d["dtype"] = jnp.dtype(d.get("dtype", "float32"))
-    for k in ("resolution_scale",):
-        if k in d and isinstance(d[k], list):
-            d[k] = tuple(d[k])
     return TokenizerConfig(**d)
 
 

@@ -63,7 +63,11 @@ def op_table(events, calls: int = 1) -> List[dict]:
         if base not in src and a.get("source"):
             src[base] = a["source"]
     rows = [
-        {"name": n, "ms": us / 1000.0 / calls, "count": cnt[n] // calls,
+        # per-call count; keep sub-call occurrences visible (a one-time
+        # prefill op averaged over 15 decode calls is 0.07, not 0)
+        {"name": n, "ms": us / 1000.0 / calls,
+         "count": cnt[n] // calls if cnt[n] % calls == 0
+         else round(cnt[n] / calls, 2),
          "source": src.get(n, "")}
         for n, us in agg.most_common()
     ]

@@ -35,7 +35,8 @@ def main():
 
     cfg = imagenet_k600_config().replace(dtype=jnp.bfloat16)
     wrapper = OmniTokenizerVQGAN.from_config(cfg, seed=0)
-    net, variables = wrapper.net, wrapper.variables
+    # same precast graph as bench.py, so the op table explains the benchmark
+    net, variables = wrapper.net, wrapper.serving_variables()
 
     @jax.jit
     def roundtrip(variables, x):

@@ -162,6 +162,14 @@ def test_bucketed_sampler_matches_full_window(gpt_params):
         np.asarray(seg_cfg(gpt_params, cls, jax.random.PRNGKey(0))))
 
 
+def test_bucketed_sampler_single_step(gpt_params):
+    """steps=1 means zero scan iterations; bucketing must not crash."""
+    sample = make_sampler(CFG, steps=1, greedy=True, bucket=4)
+    prefix = jnp.asarray([[0, 4]], jnp.int32)
+    toks = sample(gpt_params, prefix, jax.random.PRNGKey(0))
+    assert toks.shape == (1, 1)
+
+
 def test_net2net_loss():
     from omnitokenizer_tpu.models.net2net import Net2NetTransformer
 
