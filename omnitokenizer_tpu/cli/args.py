@@ -16,7 +16,13 @@ from ..config import GPTConfig, LossConfig, Net2NetConfig, TokenizerConfig, Trai
 
 def apply_platform_env():
     """Honour JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
-    tunnel) overrides the env var — must run before any jax backend use."""
+    tunnel) overrides the env var — must run before any jax backend use.
+
+    Also brings up the multi-host runtime when launched on a TPU pod slice:
+    `jax.distributed.initialize()` auto-discovers coordinator/process info
+    from the TPU metadata (or OMNITOK_COORD/SLURM-style env) — the analogue
+    of the reference's NCCL process-group bootstrap (ddp_utils.py:333-365),
+    with no rank plumbing in model code.  Opt out with OMNITOK_NO_DIST=1."""
     want = os.environ.get("JAX_PLATFORMS", "").lower()
     if want:
         import jax
@@ -25,6 +31,26 @@ def apply_platform_env():
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+
+    if os.environ.get("OMNITOK_NO_DIST"):
+        return
+    # only meaningful on real multi-host slices; harmless single-process
+    # (initialize() raises fast when no coordinator can be inferred)
+    if any(k in os.environ for k in
+           ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            "OMNITOK_COORD", "SLURM_JOB_NODELIST")):
+        import jax
+
+        try:
+            kw = {}
+            if os.environ.get("OMNITOK_COORD"):
+                kw = dict(
+                    coordinator_address=os.environ["OMNITOK_COORD"],
+                    num_processes=int(os.environ.get("OMNITOK_NPROCS", "1")),
+                    process_id=int(os.environ.get("OMNITOK_PROC_ID", "0")))
+            jax.distributed.initialize(**kw)
+        except Exception as e:  # single-process fallback
+            print(f"jax.distributed.initialize skipped: {e}")
 
 
 def add_model_args(p: argparse.ArgumentParser):

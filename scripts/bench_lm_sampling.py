@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--n_layer", type=int, default=24)
     ap.add_argument("--n_head", type=int, default=16)
     ap.add_argument("--n_embd", type=int, default=1536)
+    ap.add_argument("--block_size", type=int, default=1025)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,7 @@ def main():
     from omnitokenizer_tpu.config import GPTConfig
     from omnitokenizer_tpu.models.gpt import GPT, make_cfg_sampler, make_sampler
 
-    cfg = GPTConfig(vocab_size=9193, block_size=1025, n_layer=args.n_layer,
+    cfg = GPTConfig(vocab_size=9193, block_size=args.block_size, n_layer=args.n_layer,
                     n_head=args.n_head, n_embd=args.n_embd, dtype=jnp.bfloat16)
     gpt = GPT(cfg)
     params = gpt.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
@@ -60,7 +62,7 @@ def main():
     assert int(jnp.max(toks)) >= 0  # completion barrier incl. compile
 
     t0 = time.perf_counter()
-    reps = 3
+    reps = args.reps
     for r in range(reps):
         toks = run(jax.random.PRNGKey(1 + r))
         assert int(jnp.max(toks)) >= 0
