@@ -1,0 +1,122 @@
+"""Pipeline parallelism (GPipe schedule) for the GPT synthesis stack.
+
+Beyond the reference (whose only parallelism is DDP, SURVEY §2.8): the
+24-layer LM is split into S stages laid out over a `('stage',)` mesh axis;
+microbatches stream through the pipeline with `jax.lax.ppermute` hops
+between stages (ICI neighbours).  Differentiable end-to-end — ppermute has
+a transpose rule, so `jax.grad` of the pipelined loss implements the GPipe
+backward schedule automatically.
+
+Layout:
+  * per-stage params: every `TransformerBlock` param tree stacked on a
+    leading (n_layer,) axis, sharded P('stage') -> each device holds its
+    own (layers_per_stage, ...) slab;
+  * embeddings / final ln / head replicated, applied outside shard_map;
+  * activations: (n_micro, mb, T, C) replicated in; stage 0 injects
+    microbatch t at step t, stage S-1 emits microbatch t at step t+S-1;
+    total steps = n_micro + S - 1 (the classic bubble).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import GPTConfig
+from ..models.gpt import GPT, TransformerBlock
+
+STAGE_AXIS = "stage"
+
+
+def pp_mesh(n_stages: int, devices=None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) >= n_stages
+    return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+
+
+def stack_block_params(params, n_layer: int):
+    """{'block0': tree, ...} -> one tree with a leading (n_layer,) axis,
+    plus the non-block leftovers (embeddings, ln_f, head)."""
+    blocks = [params[f"block{i}"] for i in range(n_layer)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    rest = {k: v for k, v in params.items() if not k.startswith("block")}
+    return stacked, rest
+
+
+def shard_stacked(stacked, mesh: Mesh):
+    """Shard the leading layer axis over the stage axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(STAGE_AXIS))), stacked)
+
+
+def make_pp_lm_loss(cfg: GPTConfig, n_stages: int, n_micro: int, mesh: Mesh):
+    """Returns loss(stacked_block_params, rest_params, tokens) -> scalar,
+    jit-able over `mesh`.  tokens: (B, T); B must divide by n_micro."""
+    assert cfg.n_layer % n_stages == 0, "layers must divide into stages"
+    per_stage = cfg.n_layer // n_stages
+    block = TransformerBlock(cfg)
+    gpt = GPT(cfg)  # for embedding/head shapes via rest params
+
+    def stage_apply(slab, x):
+        """Run this device's `per_stage` blocks sequentially via scan."""
+
+        def body(x, layer_params):
+            y, _ = block.apply({"params": layer_params}, x)
+            return y, ()
+
+        x, _ = jax.lax.scan(body, x, slab)
+        return x
+
+    def pipeline(slab, xs):
+        """shard_map body.  slab: this stage's (per_stage, ...) params;
+        xs: (n_micro, mb, T, C) replicated microbatch activations."""
+        S, M = n_stages, n_micro
+        sidx = jax.lax.axis_index(STAGE_AXIS)
+        carry = jnp.zeros_like(xs[0])
+        outs = jnp.zeros_like(xs)
+        for t in range(M + S - 1):
+            x_in = jnp.where(sidx == 0, xs[min(t, M - 1)], carry)
+            y = stage_apply(slab, x_in)
+            if t >= S - 1:
+                m = t - (S - 1)
+                outs = outs.at[m].set(jnp.where(sidx == S - 1, y, outs[m]))
+            carry = jax.lax.ppermute(
+                y, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        # only the last stage holds real outputs; replicate them
+        return jax.lax.psum(jnp.where(sidx == S - 1, outs, 0.0), STAGE_AXIS)
+
+    pipe = jax.shard_map(
+        pipeline, mesh=mesh,
+        in_specs=(P(STAGE_AXIS), P()),
+        out_specs=P(),
+        check_vma=False)
+
+    def loss(stacked, rest, tokens):
+        B, T = tokens.shape
+        assert B % n_micro == 0
+        mb = B // n_micro
+        # embed (replicated, cheap)
+        emb = rest["tok_emb"]["embedding"]
+        pos = rest["pos_emb"][0, : T - 1]
+        x = emb[tokens[:, :-1]].astype(cfg.dtype) + pos.astype(cfg.dtype)
+        xs = x.reshape(n_micro, mb, T - 1, cfg.n_embd)
+
+        ys = pipe(stacked, xs).reshape(B, T - 1, cfg.n_embd)
+
+        # final LN + head (replicated)
+        lnp = rest["ln_f"]
+        mu = jnp.mean(ys.astype(jnp.float32), -1, keepdims=True)
+        var = jnp.var(ys.astype(jnp.float32), -1, keepdims=True)
+        h = (ys - mu) * jax.lax.rsqrt(var + 1e-5) * lnp["scale"] + lnp["bias"]
+        logits = jnp.dot(h.astype(cfg.dtype), rest["head"]["kernel"].astype(cfg.dtype),
+                         preferred_element_type=jnp.float32)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = tokens[:, 1:]
+        return -jnp.take_along_axis(lp, tgt[..., None], axis=-1).mean()
+
+    return loss
