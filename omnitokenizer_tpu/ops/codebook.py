@@ -51,6 +51,36 @@ def vq_argmin(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
     return vq_argmin_best(flat, embeddings)
 
 
+def make_vq_argmin_sharded(mesh, axis: str = "model"):
+    """Nearest-code search with the codebook TABLE sharded over a mesh axis
+    (SURVEY §2.8(d): a TP-like capability beyond the reference, for
+    codebooks too large to replicate — each device scans only its
+    n_codes/S slab, then an all_gather of the per-shard (min_dist, argmin)
+    pairs resolves the global winner; O(S·M) combine traffic vs the
+    O(M·n_codes) distance matrix).
+
+    Returns argmin(flat (M, D) replicated, embeddings (K, D) sharded
+    P(axis, None)) -> (M,) int32, identical on every device."""
+    from jax.sharding import PartitionSpec as P
+
+    S = int(mesh.shape[axis])
+
+    def local(fl, emb_shard):
+        d = vq_distances(fl, emb_shard)  # (M, K/S)
+        li = jnp.argmin(d, axis=1)
+        ld = jnp.min(d, axis=1)
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * emb_shard.shape[0]
+        gi = li.astype(jnp.int32) + base
+        lds = jax.lax.all_gather(ld, axis)  # (S, M)
+        gis = jax.lax.all_gather(gi, axis)
+        win = jnp.argmin(lds, axis=0)  # (M,)
+        return jnp.take_along_axis(gis, win[None, :], axis=0)[0]
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(axis, None)),
+                         out_specs=P(), check_vma=False)
+
+
 def _tile_to_codes(flat: jnp.ndarray, n_codes: int, key: jax.Array) -> jnp.ndarray:
     """Repeat rows (+ tiny noise) until there are >= n_codes of them
     (reference codebook.py:30-37), then return a random n_codes subset."""

@@ -116,3 +116,24 @@ def test_tokenizer_sequence_parallel_forward(devices):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(aux_sp["encodings"]),
                                   np.asarray(aux_ref["encodings"]))
+
+
+def test_sharded_codebook_argmin(devices):
+    """Codebook table sharded over the model axis: global argmin equals the
+    replicated computation (ops/codebook.make_vq_argmin_sharded)."""
+    from jax.sharding import NamedSharding
+
+    from omnitokenizer_tpu.ops.codebook import (make_vq_argmin_sharded,
+                                                vq_argmin_xla)
+
+    mesh = tp.tp_mesh(4)  # ('data', 'model') = (2, 4)
+    rng = np.random.RandomState(0)
+    flat = jnp.asarray(rng.randn(96, 8).astype(np.float32))
+    emb = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+
+    want = np.asarray(vq_argmin_xla(flat, emb))
+    emb_sharded = jax.device_put(emb, NamedSharding(mesh, P("model", None)))
+    flat_rep = jax.device_put(flat, NamedSharding(mesh, P()))
+    fn = make_vq_argmin_sharded(mesh, "model")
+    got = np.asarray(jax.jit(fn)(flat_rep, emb_sharded))
+    np.testing.assert_array_equal(got, want)
