@@ -163,6 +163,10 @@ class GPTConfig:
     n_unmasked: int = 0
     vtokens_pos: bool = False
     dtype: Any = jnp.float32
+    # serving: read int8 weights from the "quant" variables collection
+    # (ops/int8.py) instead of the f32/bf16 Dense params — halves decode
+    # weight bandwidth and uses the MXU's native int8 rate
+    int8_decode: bool = False
 
 
 @dataclass(frozen=True)

@@ -64,10 +64,21 @@ class TransformerBlock(nn.Module):
         B, T, _ = x.shape
         prec = mm_precision(cfg.dtype)
 
+        def dense(name, inp, feat):
+            """Dense or, in int8 serving mode, a W8A8 matmul reading the
+            "quant" collection (ops/int8.py) — f32 master params untouched."""
+            if cfg.int8_decode and self.has_variable("quant", name):
+                from ..ops.int8 import int8_matmul
+
+                qv = self.get_variable("quant", name)
+                return (int8_matmul(inp, qv["q"], qv["s"])
+                        + qv["b"]).astype(cfg.dtype)
+            return nn.Dense(feat, dtype=cfg.dtype, precision=prec, name=name)(inp)
+
         h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln1")(x)
-        q = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="query")(h)
-        k = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="key")(h)
-        v = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="value")(h)
+        q = dense("query", h, C)
+        k = dense("key", h, C)
+        v = dense("value", h, C)
 
         def split(t):
             return jnp.transpose(t.reshape(B, T, H, hd), (0, 2, 1, 3))  # (B,H,T,hd)
@@ -106,14 +117,12 @@ class TransformerBlock(nn.Module):
             new_cache = (k_cache, v_cache)
 
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, C)
-        y = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="proj")(y)
-        x = x + y
+        x = x + dense("proj", y, C)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln2")(x)
-        h = nn.Dense(4 * C, dtype=cfg.dtype, precision=prec, name="fc")(h)
+        h = dense("fc", h, 4 * C)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=cfg.dtype, precision=prec, name="proj_out")(h)
-        x = x + h
+        x = x + dense("proj_out", h, C)
         return x, new_cache
 
 
@@ -180,8 +189,14 @@ class GPT(nn.Module):
                 new_caches.append(lc)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
-        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-                          precision=mm_precision(cfg.dtype), name="head")(x)
+        if cfg.int8_decode and self.has_variable("quant", "head"):
+            from ..ops.int8 import int8_matmul
+
+            qv = self.get_variable("quant", "head")
+            logits = int8_matmul(x, qv["q"], qv["s"])
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                              precision=mm_precision(cfg.dtype), name="head")(x)
         if cache is None:
             return logits.astype(jnp.float32), None
         return logits.astype(jnp.float32), tuple(new_caches)
@@ -293,13 +308,16 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
     gpt = GPT(cfg)
 
     @jax.jit
-    def sample(params, cond, key):
+    def sample(params, cond, key, quant=None):
         params = _cast_params_once(params, cfg)
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
         B, L = cond.shape
         caches = init_cache(cfg, B)
 
         # prefill: run the whole prefix at once, writing the cache
-        logits, caches = gpt.apply({"params": params}, cond, caches, 0)
+        logits, caches = gpt.apply(variables, cond, caches, 0)
         key, sub = jax.random.split(key)
         tok = _sample_token(sub, logits[:, -1], temperature, top_k, top_p, greedy)
 
@@ -308,7 +326,7 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                 caches, tok, key = carry
                 key, sub = jax.random.split(key)
                 logits, caches = gpt.apply(
-                    {"params": params}, tok[:, None], caches, L + i,
+                    variables, tok[:, None], caches, L + i,
                     kv_window=win)
                 nxt = _sample_token(sub, logits[:, -1], temperature, top_k,
                                     top_p, greedy)
@@ -338,8 +356,11 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
     gpt = GPT(cfg)
 
     @jax.jit
-    def sample(params, cls, key):
+    def sample(params, cls, key, quant=None):
         params = _cast_params_once(params, cfg)
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
         B = cls.shape[0]
         c = cls + 1
         sos = jnp.zeros_like(c)
@@ -349,12 +370,12 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         caches_c = init_cache(cfg, B)
         caches_u = init_cache(cfg, B)
 
-        logits_c, caches_c = gpt.apply({"params": params}, prefix, caches_c, 0)
+        logits_c, caches_c = gpt.apply(variables, prefix, caches_c, 0)
         # uncond stream sees only sos at pe index 0 / cache slot 0; its
         # generated tokens stay DENSE in the cache (slot 1+i) while sharing
         # the cond stream's pe indices (2+i) — exactly the reference's
         # `forward_uncond` +1 pe offset over a gapless past (gpt.py:251,410)
-        logits_u, caches_u = gpt.apply({"params": params}, sos, caches_u, 0)
+        logits_u, caches_u = gpt.apply(variables, sos, caches_u, 0)
         # The two CFG streams ride ONE cache of batch 2B ([cond | uncond]):
         # incremental decode is weight-bandwidth-bound on TPU, so one fused
         # 2B step halves the per-token weight reads vs the reference's two
@@ -386,7 +407,7 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                 key, sub = jax.random.split(key)
                 tok2 = jnp.concatenate([tok, tok], axis=0)
                 # one shared write depth + pe index L+i for all 2B rows
-                logits, caches = gpt.apply({"params": params}, tok2[:, None],
+                logits, caches = gpt.apply(variables, tok2[:, None],
                                            caches, L + i, key_mask=row_mask,
                                            kv_window=win)
                 nxt = _sample_token(sub, blend(logits[:B, -1], logits[B:, -1],
