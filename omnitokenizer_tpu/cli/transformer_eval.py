@@ -38,6 +38,8 @@ def build_parser():
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--cfg_ratio", type=float, default=1.5)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 decode weights (ops/int8.py)")
     p.add_argument("--decode_bucket", type=int, default=512,
                    help="segmented attention windows for long AR decode "
                         "(0 = full-window every step)")
@@ -100,7 +102,7 @@ def main(argv=None):
         sampler = n2n.make_frame_prediction_sampler(
             lt, prefix_latent_frames=2, temperature=args.temperature,
             top_k=args.top_k, top_p=args.top_p,
-            bucket=args.decode_bucket or None)
+            bucket=args.decode_bucket or None, int8=args.int8)
         rng = jax.random.PRNGKey(args.seed + jax.process_index())
         done = 0
         for bi, batch in enumerate(iter(loader)):
@@ -121,7 +123,8 @@ def main(argv=None):
     sampler = n2n.make_class_conditional_sampler(
         steps, temperature=args.temperature, top_k=args.top_k,
         top_p=args.top_p, cfg_ratio=args.cfg_ratio,
-        use_cfg=args.starts_with_sos, bucket=args.decode_bucket or None)
+        use_cfg=args.starts_with_sos, bucket=args.decode_bucket or None,
+        int8=args.int8)
 
     # shard classes across processes (transformer_eval.py:228-242)
     pidx, pcount = jax.process_index(), jax.process_count()

@@ -139,25 +139,40 @@ class Net2NetTransformer:
         return loss, dict(loss=loss, acc1=top1 * 100, acc5=top5 * 100)
 
     # -- generation --------------------------------------------------------
+    def _serving_gpt_cfg(self, int8: bool):
+        """(gpt_cfg, quant): int8=True flips on the W8A8 decode path and
+        builds the quantized weight collection (ops/int8.py)."""
+        if not int8:
+            return self.cfg.gpt, None
+        import dataclasses
+
+        from ..ops.int8 import quantize_gpt_decode_params
+
+        gcfg = dataclasses.replace(self.cfg.gpt, int8_decode=True)
+        return gcfg, quantize_gpt_decode_params(self.gpt_params, gcfg.n_layer)
+
     def make_class_conditional_sampler(self, steps: int, temperature: float = 1.0,
                                        top_k: Optional[int] = None, top_p: float = 1.0,
                                        cfg_ratio: float = 1.5, use_cfg: bool = True,
-                                       bucket: Optional[int] = None):
+                                       bucket: Optional[int] = None,
+                                       int8: bool = False):
         """Returns sample(cls_ids (B,), key) -> clamped codebook ids (B, steps)
         (transformer_eval.py:27-91 semantics incl. the final clamp)."""
         cfg = self.cfg
+        gpt_cfg, quant = self._serving_gpt_cfg(int8)
         if use_cfg and cfg.starts_with_sos:
             sampler = make_cfg_sampler(
-                cfg.gpt, steps, temperature, top_k, top_p,
+                gpt_cfg, steps, temperature, top_k, top_p,
                 cfg_ratio=cfg_ratio, class_first=cfg.class_first,
                 bucket=bucket)
 
             def sample(cls_ids, key):
-                toks = sampler(self.gpt_params, cls_ids.reshape(-1, 1), key)
+                toks = sampler(self.gpt_params, cls_ids.reshape(-1, 1), key,
+                               quant=quant)
                 return jnp.clip(toks - self.z_offset, 0,
                                 cfg.first_stage_vocab_size - 1)
         else:
-            sampler = make_sampler(cfg.gpt, steps, temperature, top_k, top_p,
+            sampler = make_sampler(gpt_cfg, steps, temperature, top_k, top_p,
                                    bucket=bucket)
 
             def sample(cls_ids, key):
@@ -165,7 +180,7 @@ class Net2NetTransformer:
                     prefix = sos_encode(cls_ids.shape[0], cfg.sos_token)
                 else:
                     prefix = labelator_encode(cls_ids)
-                toks = sampler(self.gpt_params, prefix, key)
+                toks = sampler(self.gpt_params, prefix, key, quant=quant)
                 return jnp.clip(toks - self.z_offset, 0,
                                 cfg.first_stage_vocab_size - 1)
 
@@ -179,12 +194,14 @@ class Net2NetTransformer:
                                       prefix_latent_frames: int = 2,
                                       temperature: float = 1.0,
                                       top_k: Optional[int] = None, top_p: float = 1.0,
-                                      bucket: Optional[int] = None):
+                                      bucket: Optional[int] = None,
+                                      int8: bool = False):
         """Encode a video, keep the first `prefix_latent_frames` latent
         frames, AR-continue the rest, return full id grid (B, t, h, w)."""
         hw = self.tokenizer.cfg.latent_hw
         steps = (total_latent_frames - prefix_latent_frames) * hw * hw
-        sampler = make_sampler(self.cfg.gpt, steps, temperature, top_k, top_p,
+        gpt_cfg, quant = self._serving_gpt_cfg(int8)
+        sampler = make_sampler(gpt_cfg, steps, temperature, top_k, top_p,
                                bucket=bucket)
 
         def sample(video, key):
@@ -194,7 +211,7 @@ class Net2NetTransformer:
             if self.cfg.starts_with_sos or self.cfg.unconditional:
                 sos = sos_encode(z.shape[0], self.cfg.sos_token)
                 prefix = jnp.concatenate([sos, prefix], axis=1)
-            cont = sampler(self.gpt_params, prefix, key)
+            cont = sampler(self.gpt_params, prefix, key, quant=quant)
             cont = jnp.clip(cont - self.z_offset, 0,
                             self.cfg.first_stage_vocab_size - 1)
             full = jnp.concatenate([z[:, :prefix_len] - self.z_offset, cont], axis=1)
