@@ -45,7 +45,7 @@ def main():
 
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, 256, 256, 3), jnp.float32) * 0.2
 
-    iters = 10
+    iters = 20
 
     @jax.jit
     def run(variables, x):
