@@ -34,11 +34,12 @@ def apply_platform_env():
 
     if os.environ.get("OMNITOK_NO_DIST"):
         return
-    # only meaningful on real multi-host slices; harmless single-process
-    # (initialize() raises fast when no coordinator can be inferred)
-    if any(k in os.environ for k in
-           ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-            "OMNITOK_COORD", "SLURM_JOB_NODELIST")):
+    # only meaningful on real multi-host slices (single-host tunnels also
+    # export TPU_WORKER_HOSTNAMES — require >1 worker there)
+    multi_tpu = len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+    if multi_tpu or any(k in os.environ for k in
+                        ("MEGASCALE_COORDINATOR_ADDRESS", "OMNITOK_COORD",
+                         "SLURM_JOB_NODELIST")):
         import jax
 
         try:

@@ -326,7 +326,13 @@ def load_tokenizer_checkpoint(
 
         tmp = OmniTokenizerVQGAN.from_config(cfg)
         with open(path, "rb") as f:
-            variables = serialization.from_bytes(tmp.variables, f.read())
+            raw = serialization.msgpack_restore(f.read())
+        if "params_g" in raw:
+            # full training-state checkpoint (training/loop.save_state) —
+            # extract the generator variables, like the reference evaluating
+            # straight from a Lightning training ckpt
+            raw = {"params": raw["params_g"], "buffers": raw["buffers"]}
+        variables = serialization.from_state_dict(tmp.variables, raw)
         return cfg, variables
 
     sd, args = load_torch_state_dict(path)
