@@ -72,10 +72,21 @@ def gpt_param_specs(params) -> Any:
 
 
 def shard_params(params, mesh: Mesh, specs=None):
-    """Place a param tree on `mesh` according to `specs` (default: GPT TP)."""
+    """Place a param tree on `mesh` according to `specs` (default: GPT TP).
+
+    Specs whose sharded dims don't divide the axis size fall back to
+    replicated — e.g. the vocab-sharded LM head with the canonical odd
+    vocab 9193 (8192 codes + 1000 classes + 1 sos)."""
     specs = gpt_param_specs(params) if specs is None else specs
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+    def place(x, s):
+        for dim, name in enumerate(s):
+            if name is not None and x.shape[dim] % mesh.shape[name] != 0:
+                s = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(place, params, specs)
 
 
 def sharded_opt_init(opt, params_sharded):
