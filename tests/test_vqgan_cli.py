@@ -81,7 +81,7 @@ def test_vqgan_train_and_eval_roundtrip(image_dataset, tmp_path):
     recons = glob.glob(os.path.join(save, "recons", "*.png"))
     inputs = glob.glob(os.path.join(save, "inputs", "*.png"))
     assert recons and inputs
-    report = os.path.join(save, "report.json")
+    report = os.path.join(save, "result.json")
     if os.path.exists(report):
         with open(report) as f:
             rep = json.load(f)
