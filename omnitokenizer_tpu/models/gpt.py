@@ -81,6 +81,10 @@ class TransformerBlock(nn.Module):
         v = dense("value", h, C)
 
         def split(t):
+            if T == 1:
+                # (B,1,H,hd) -> (B,H,1,hd) preserves linear order: a free
+                # reshape instead of a transpose op in the decode loop
+                return t.reshape(B, H, 1, hd)
             return jnp.transpose(t.reshape(B, T, H, hd), (0, 2, 1, 3))  # (B,H,T,hd)
 
         q, k, v = split(q), split(k), split(v)
@@ -116,7 +120,10 @@ class TransformerBlock(nn.Module):
             y = jnp.einsum("bhij,bhjd->bhid", attn, vw, precision=prec)
             new_cache = (k_cache, v_cache)
 
-        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, C)
+        if T == 1:
+            y = y.reshape(B, 1, C)  # linear-order preserving, no transpose
+        else:
+            y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, C)
         x = x + dense("proj", y, C)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln2")(x)
