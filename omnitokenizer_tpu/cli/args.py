@@ -34,23 +34,32 @@ def apply_platform_env():
 
     if os.environ.get("OMNITOK_NO_DIST"):
         return
-    # only meaningful on real multi-host slices (single-host tunnels also
-    # export TPU_WORKER_HOSTNAMES — require >1 worker there)
+    # Multi-host init is deliberately conservative: ONLY a multi-worker TPU
+    # slice (TPU metadata carries coordinator info) or an explicit
+    # OMNITOK_COORD triggers it.  We do NOT sniff SLURM/MPI env — merely
+    # running inside an allocation must not fuse independent CLI invocations
+    # into one distributed job (ranks would silently shard work).
     multi_tpu = len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
-    if multi_tpu or any(k in os.environ for k in
-                        ("MEGASCALE_COORDINATOR_ADDRESS", "OMNITOK_COORD",
-                         "SLURM_JOB_NODELIST")):
+    coord = os.environ.get("OMNITOK_COORD")
+    if coord:
+        import jax
+
+        nprocs = os.environ.get("OMNITOK_NPROCS")
+        pid = os.environ.get("OMNITOK_PROC_ID")
+        if nprocs is None or pid is None:
+            raise RuntimeError(
+                "OMNITOK_COORD is set but OMNITOK_NPROCS/OMNITOK_PROC_ID are "
+                "not — refusing to guess (every host would come up as an "
+                "independent 1-process job)")
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nprocs),
+                                   process_id=int(pid))
+    elif multi_tpu:
         import jax
 
         try:
-            kw = {}
-            if os.environ.get("OMNITOK_COORD"):
-                kw = dict(
-                    coordinator_address=os.environ["OMNITOK_COORD"],
-                    num_processes=int(os.environ.get("OMNITOK_NPROCS", "1")),
-                    process_id=int(os.environ.get("OMNITOK_PROC_ID", "0")))
-            jax.distributed.initialize(**kw)
-        except Exception as e:  # single-process fallback
+            jax.distributed.initialize()  # TPU metadata auto-discovery
+        except Exception as e:
             print(f"jax.distributed.initialize skipped: {e}")
 
 

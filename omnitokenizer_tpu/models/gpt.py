@@ -321,6 +321,10 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         if quant is not None:
             variables["quant"] = quant
         B, L = cond.shape
+        # cache writes land at slots [0, L + steps - 1); a too-small block
+        # would make dynamic_update_slice clamp and silently corrupt decode
+        assert L + steps - 1 <= cfg.block_size, (
+            f"prefix {L} + steps {steps} exceeds block_size {cfg.block_size}")
         caches = init_cache(cfg, B)
 
         # prefill: run the whole prefix at once, writing the cache
@@ -373,6 +377,8 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         sos = jnp.zeros_like(c)
         prefix = jnp.concatenate([c, sos] if class_first else [sos, c], axis=1)
         L = prefix.shape[1]  # 2
+        assert L + steps - 1 <= cfg.block_size, (
+            f"prefix {L} + steps {steps} exceeds block_size {cfg.block_size}")
 
         caches_c = init_cache(cfg, B)
         caches_u = init_cache(cfg, B)

@@ -63,8 +63,6 @@ def make_vq_argmin_sharded(mesh, axis: str = "model"):
     P(axis, None)) -> (M,) int32, identical on every device."""
     from jax.sharding import PartitionSpec as P
 
-    S = int(mesh.shape[axis])
-
     def local(fl, emb_shard):
         d = vq_distances(fl, emb_shard)  # (M, K/S)
         li = jnp.argmin(d, axis=1)

@@ -19,16 +19,14 @@ Layout:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GPTConfig
-from ..models.gpt import GPT, TransformerBlock
+from ..models.gpt import TransformerBlock
 
 STAGE_AXIS = "stage"
 
@@ -60,7 +58,6 @@ def make_pp_lm_loss(cfg: GPTConfig, n_stages: int, n_micro: int, mesh: Mesh):
     assert cfg.n_layer % n_stages == 0, "layers must divide into stages"
     per_stage = cfg.n_layer // n_stages
     block = TransformerBlock(cfg)
-    gpt = GPT(cfg)  # for embedding/head shapes via rest params
 
     def stage_apply(slab, x):
         """Run this device's `per_stage` blocks sequentially via scan."""
@@ -108,11 +105,10 @@ def make_pp_lm_loss(cfg: GPTConfig, n_stages: int, n_micro: int, mesh: Mesh):
 
         ys = pipe(stacked, xs).reshape(B, T - 1, cfg.n_embd)
 
-        # final LN + head (replicated)
-        lnp = rest["ln_f"]
-        mu = jnp.mean(ys.astype(jnp.float32), -1, keepdims=True)
-        var = jnp.var(ys.astype(jnp.float32), -1, keepdims=True)
-        h = (ys - mu) * jax.lax.rsqrt(var + 1e-5) * lnp["scale"] + lnp["bias"]
+        # final LN + head (replicated) — the very same nn.LayerNorm as
+        # GPT.ln_f so epsilon/dtype semantics can never diverge
+        h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype).apply(
+            {"params": rest["ln_f"]}, ys)
         logits = jnp.dot(h.astype(cfg.dtype), rest["head"]["kernel"].astype(cfg.dtype),
                          preferred_element_type=jnp.float32)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
