@@ -105,3 +105,24 @@ def test_video_train_eval_and_frame_prediction(video_dataset, tmp_path):
     assert preds
     dat = np.load(preds[0])
     assert np.isfinite(dat["video"]).all()
+
+
+def test_metrics_eval_cli(tmp_path):
+    """fvd_external-style dir-vs-dir metrics CLI (PSNR/SSIM without I3D
+    weights; identical dirs give infinite-ish PSNR and SSIM ~1)."""
+    from omnitokenizer_tpu.cli import metrics_eval
+
+    rng = np.random.RandomState(0)
+    gen, gt = tmp_path / "gen", tmp_path / "gt"
+    gen.mkdir(); gt.mkdir()
+    for i in range(3):
+        clip = rng.rand(4, 16, 16, 3).astype(np.float32) - 0.5
+        np.savez(gen / f"c{i}.npz", video=clip)
+        np.savez(gt / f"c{i}.npz", video=clip + 0.01)
+    res = metrics_eval.main(["--gen_dir", str(gen), "--gt_dir", str(gt),
+                             "--save", str(tmp_path / "m.json")])
+    assert res["clips"] == 3
+    assert 30 < res["psnr"] < 50  # 0.01 offset => ~40 dB
+    assert 0.8 < res["ssim"] <= 1.0
+    assert res["fvd"] is None
+    assert os.path.exists(tmp_path / "m.json")
