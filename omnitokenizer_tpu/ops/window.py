@@ -78,13 +78,6 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
                        precision=mm_precision(self.dtype), name="qkv")(xw)
-        qkv = qkv.reshape(BW, NW, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (BW, NW, h, d)
-        fast = self.dtype == jnp.bfloat16
-        prec = None if fast else jax.lax.Precision.HIGHEST
-        q = jnp.transpose(q, (0, 2, 1, 3)) * scale
-        k = jnp.transpose(k, (0, 2, 1, 3))
-        v = jnp.transpose(v, (0, 2, 1, 3))
 
         table = self.param(
             "relative_position_bias_table",
@@ -93,11 +86,23 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
-        bias = table[idx].reshape(NW, NW, self.num_heads)
-        bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, h, NW, NW)
+        bias_hnn = jnp.transpose(table[idx].reshape(NW, NW, self.num_heads),
+                                 (2, 0, 1))  # (h, NW, NW)
+
+        # NOTE: a fused Pallas kernel for the per-window attentions
+        # (ops/pallas/window_attn.py) measured NEUTRAL-to-worse on the
+        # flagship (2277 -> 2263 f/s): the unrolled 64x64 matmuls don't
+        # beat XLA's batched lowering, which already keeps this ~0.7 ms.
+        qkv = qkv.reshape(BW, NW, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (BW, NW, h, d)
+        fast = self.dtype == jnp.bfloat16
+        prec = None if fast else jax.lax.Precision.HIGHEST
+        q = jnp.transpose(q, (0, 2, 1, 3)) * scale
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
 
         sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
-                         preferred_element_type=jnp.float32) + bias
+                         preferred_element_type=jnp.float32) + bias_hnn[None]
         attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=prec,
                          preferred_element_type=jnp.float32)
