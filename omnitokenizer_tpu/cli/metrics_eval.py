@@ -24,8 +24,12 @@ import numpy as np
 from . import args as A
 
 
-def _load_clip(path: str) -> np.ndarray:
-    """-> float32 (T, H, W, C) in [0, 1]."""
+def _load_clip(path: str, value_range: str) -> np.ndarray:
+    """-> float32 (T, H, W, C) in [0, 1].
+
+    Float inputs are interpreted deterministically by --range: 'model'
+    ([-0.5, 0.5], this framework's pixel convention) or 'unit' ([0, 1]).
+    A data-driven guess would shift paired clips inconsistently."""
     if path.endswith(".npz"):
         arr = np.load(path)["video"]
     elif path.endswith(".npy"):
@@ -42,7 +46,7 @@ def _load_clip(path: str) -> np.ndarray:
     if arr.dtype == np.uint8:
         return arr.astype(np.float32) / 255.0
     arr = arr.astype(np.float32)
-    if arr.min() < -0.01:  # [-0.5, 0.5] model range
+    if value_range == "model":
         arr = arr + 0.5
     return np.clip(arr, 0.0, 1.0)
 
@@ -61,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--i3d_path", default=None,
                     help="torch i3d_pretrained_400.pt for FVD")
     ap.add_argument("--max_clips", type=int, default=None)
+    ap.add_argument("--range", dest="value_range", default="model",
+                    choices=["model", "unit"],
+                    help="float input convention: 'model' [-0.5,0.5] "
+                         "(this framework's outputs) or 'unit' [0,1]")
     ap.add_argument("--save", default=None, help="write result json here")
     args = ap.parse_args(argv)
 
@@ -76,7 +84,7 @@ def main(argv=None):
     psnrs, ssims = [], []
     gen_u8, gt_u8 = [], []
     for gp, tp in zip(gen_paths[:n], gt_paths[:n]):
-        g, t = _load_clip(gp), _load_clip(tp)
+        g, t = _load_clip(gp, args.value_range), _load_clip(tp, args.value_range)
         tmin = min(g.shape[0], t.shape[0])
         g, t = g[:tmin], t[:tmin]
         psnrs.append(float(np.mean(np.asarray(psnr(jnp.asarray(g), jnp.asarray(t))))))
@@ -89,9 +97,15 @@ def main(argv=None):
         from ..eval.frechet import frechet_distance
         from ..eval.i3d import compute_fvd_logits, load_i3d_variables
 
-        variables = load_i3d_variables(args.i3d_path)
-        lg = compute_fvd_logits(np.stack(gen_u8), variables)
-        lt = compute_fvd_logits(np.stack(gt_u8), variables)
+        variables, _ = load_i3d_variables(args.i3d_path)
+        # crop every clip to the common (T, H, W) so they stack
+        tmin = min(c.shape[0] for c in gen_u8 + gt_u8)
+        hmin = min(c.shape[1] for c in gen_u8 + gt_u8)
+        wmin = min(c.shape[2] for c in gen_u8 + gt_u8)
+        gen_s = np.stack([c[:tmin, :hmin, :wmin] for c in gen_u8])
+        gt_s = np.stack([c[:tmin, :hmin, :wmin] for c in gt_u8])
+        lg = compute_fvd_logits(gen_s, variables)
+        lt = compute_fvd_logits(gt_s, variables)
         fvd = float(frechet_distance(lg, lt))
 
     result = {"clips": n, "psnr": float(np.mean(psnrs)),

@@ -76,17 +76,20 @@ def main():
                               length=args.iters)
         return acc
 
-    frames = B * T * args.iters
-    for name, fn, inp in (("encode", encode_scan, x),
-                          ("decode", decode_scan, ids),
-                          ("roundtrip", roundtrip_scan, x)):
+    # decode always renders full-length clips from the latent grid
+    # (1 + (latent_t - 1) * pt frames), independent of --frames
+    t_dec = 1 + (lt - 1) * cfg.temporal_patch_size
+    for name, fn, inp, t_out in (("encode", encode_scan, x, T),
+                                 ("decode", decode_scan, ids, t_dec),
+                                 ("roundtrip", roundtrip_scan, x, T)):
         run = jax.jit(fn)
         float(run(variables, inp))  # compile
         t0 = time.perf_counter()
         assert np.isfinite(float(run(variables, inp)))
         dt = time.perf_counter() - t0
+        frames = B * t_out * args.iters
         print(f"{name:10s}: {frames / dt:8.1f} frames/s/chip "
-              f"({dt / args.iters * 1000:.2f} ms / {B}x{T}-frame batch)")
+              f"({dt / args.iters * 1000:.2f} ms / {B}x{t_out}-frame batch)")
 
 
 if __name__ == "__main__":
