@@ -238,4 +238,5 @@ def train_config_from(args) -> TrainConfig:
         sample_ratio=args.sample_ratio,
         force_alternation=args.force_alternation,
         seed=args.seed,
+        freeze_trans=getattr(args, "freeze_trans", False),
     )

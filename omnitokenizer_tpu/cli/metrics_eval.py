@@ -64,6 +64,17 @@ def main(argv=None):
     ap.add_argument("--gt_dir", required=True)
     ap.add_argument("--i3d_path", default=None,
                     help="torch i3d_pretrained_400.pt for FVD")
+    ap.add_argument("--inception_path", default=None,
+                    help="torch pt_inception-2015-12-05 state_dict for FID/IS")
+    ap.add_argument("--metrics", default="psnr,ssim,fvd",
+                    help="comma list from psnr,ssim,fvd,lpips,is,fid "
+                         "(mirrors evaluation/common_metrics_on_video_quality "
+                         "+ pytorch-fid dir-vs-dir)")
+    ap.add_argument("--fvd_method", default="videogpt",
+                    choices=["videogpt", "styleganv"],
+                    help="videogpt: plain 224 resize (fvd/fvd.py:18-29); "
+                         "styleganv: shorter-side resize + center crop "
+                         "(fvd/styleganv/fvd.py:38-60)")
     ap.add_argument("--max_clips", type=int, default=None)
     ap.add_argument("--range", dest="value_range", default="model",
                     choices=["model", "unit"],
@@ -76,6 +87,8 @@ def main(argv=None):
 
     from ..eval.metrics import psnr, ssim
 
+    want = {m.strip() for m in args.metrics.split(",") if m.strip()}
+
     gen_paths = _clips(args.gen_dir, args.max_clips)
     gt_paths = _clips(args.gt_dir, args.max_clips)
     assert gen_paths and gt_paths, "empty input dirs"
@@ -87,29 +100,86 @@ def main(argv=None):
         g, t = _load_clip(gp, args.value_range), _load_clip(tp, args.value_range)
         tmin = min(g.shape[0], t.shape[0])
         g, t = g[:tmin], t[:tmin]
-        psnrs.append(float(np.mean(np.asarray(psnr(jnp.asarray(g), jnp.asarray(t))))))
-        ssims.append(float(np.mean(np.asarray(ssim(jnp.asarray(g), jnp.asarray(t))))))
+        if "psnr" in want:
+            psnrs.append(float(np.mean(np.asarray(psnr(jnp.asarray(g), jnp.asarray(t))))))
+        if "ssim" in want:
+            ssims.append(float(np.mean(np.asarray(ssim(jnp.asarray(g), jnp.asarray(t))))))
         gen_u8.append((g * 255).astype(np.uint8))
         gt_u8.append((t * 255).astype(np.uint8))
 
+    def _stacked(clips):
+        tmin = min(c.shape[0] for c in clips)
+        hmin = min(c.shape[1] for c in clips)
+        wmin = min(c.shape[2] for c in clips)
+        return np.stack([c[:tmin, :hmin, :wmin] for c in clips])
+
     fvd = None
-    if args.i3d_path:
+    if "fvd" in want and args.i3d_path:
         from ..eval.frechet import frechet_distance
-        from ..eval.i3d import compute_fvd_logits, load_i3d_variables
+        from ..eval.i3d import (compute_fvd_logits, load_i3d_variables,
+                                preprocess_videos_styleganv)
 
         variables, _ = load_i3d_variables(args.i3d_path)
         # crop every clip to the common (T, H, W) so they stack
-        tmin = min(c.shape[0] for c in gen_u8 + gt_u8)
-        hmin = min(c.shape[1] for c in gen_u8 + gt_u8)
-        wmin = min(c.shape[2] for c in gen_u8 + gt_u8)
-        gen_s = np.stack([c[:tmin, :hmin, :wmin] for c in gen_u8])
-        gt_s = np.stack([c[:tmin, :hmin, :wmin] for c in gt_u8])
-        lg = compute_fvd_logits(gen_s, variables)
-        lt = compute_fvd_logits(gt_s, variables)
+        gen_s = _stacked(gen_u8 + gt_u8)[:len(gen_u8)]
+        gt_s = _stacked(gen_u8 + gt_u8)[len(gen_u8):]
+        pre = (preprocess_videos_styleganv
+               if args.fvd_method == "styleganv" else None)
+        lg = compute_fvd_logits(gen_s, variables, preprocess=pre)
+        lt = compute_fvd_logits(gt_s, variables, preprocess=pre)
         fvd = float(frechet_distance(lg, lt))
 
-    result = {"clips": n, "psnr": float(np.mean(psnrs)),
-              "ssim": float(np.mean(ssims)), "fvd": fvd}
+    lpips_val = None
+    if "lpips" in want:
+        # per-frame LPIPS averaged over clips (calculate_lpips.py:26-61);
+        # [0,1] frames scaled to [-1,1]
+        from ..models.lpips import LPIPS, load_lpips_variables
+
+        lp_vars, pretrained = load_lpips_variables()
+        if pretrained:
+            model = LPIPS()
+            import jax as _jax
+
+            apply = _jax.jit(lambda v, a, b: jnp.mean(model.apply(v, a, b)))
+            vals = []
+            for g, t in zip(gen_u8, gt_u8):
+                a = jnp.asarray(g, jnp.float32) / 255.0 * 2.0 - 1.0
+                b = jnp.asarray(t, jnp.float32) / 255.0 * 2.0 - 1.0
+                vals.append(float(apply(lp_vars, a, b)))
+            lpips_val = float(np.mean(vals))
+        else:
+            print("[metrics_eval] no VGG backbone weights; skipping lpips")
+
+    is_mean = is_std = None
+    fid = None
+    if ("is" in want or "fid" in want) and args.inception_path:
+        from ..eval.inception import (compute_fid_features,
+                                      compute_inception_probs,
+                                      inception_score, load_inception_variables)
+
+        inc_vars, pretrained = load_inception_variables(args.inception_path)
+        if pretrained:
+            gen_frames = np.concatenate(
+                [c.astype(np.float32) / 255.0 for c in gen_u8])
+            if "is" in want:
+                probs = compute_inception_probs(gen_frames, inc_vars)
+                is_mean, is_std = inception_score(probs, splits=1)
+            if "fid" in want:
+                gt_frames = np.concatenate(
+                    [c.astype(np.float32) / 255.0 for c in gt_u8])
+                fr = compute_fid_features(gt_frames, inc_vars)
+                ff = compute_fid_features(gen_frames, inc_vars)
+                from ..eval.frechet import frechet_distance
+
+                fid = float(frechet_distance(ff, fr))
+        else:
+            print("[metrics_eval] inception weights unreadable; skipping is/fid")
+
+    result = {"clips": n,
+              "psnr": float(np.mean(psnrs)) if psnrs else None,
+              "ssim": float(np.mean(ssims)) if ssims else None,
+              "fvd": fvd, "lpips": lpips_val,
+              "is": is_mean, "is_std": is_std, "fid": fid}
     print(json.dumps(result))
     if args.save:
         os.makedirs(os.path.dirname(os.path.abspath(args.save)), exist_ok=True)

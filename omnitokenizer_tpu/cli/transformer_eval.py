@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--cfg_ratio", type=float, default=1.5)
+    p.add_argument("--no_scale_cfg", action="store_true",
+                   help="constant guidance scale instead of the default "
+                        "step-scaled t=cfg_ratio*n (transformer_eval.py:152,240)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 decode weights (ops/int8.py)")
     p.add_argument("--decode_bucket", type=int, default=512,
@@ -123,7 +126,8 @@ def main(argv=None):
     sampler = n2n.make_class_conditional_sampler(
         steps, temperature=args.temperature, top_k=args.top_k,
         top_p=args.top_p, cfg_ratio=args.cfg_ratio,
-        use_cfg=args.starts_with_sos, bucket=args.decode_bucket or None,
+        use_cfg=args.starts_with_sos, scale_cfg=not args.no_scale_cfg,
+        bucket=args.decode_bucket or None,
         int8=args.int8)
 
     # shard classes across processes (transformer_eval.py:228-242)

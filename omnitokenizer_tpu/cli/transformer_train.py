@@ -40,6 +40,11 @@ def build_parser():
     p.add_argument("--sample_every_n_latent_frames", type=int, default=0)
     p.add_argument("--base_lr", type=float, default=4.5e-6)
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--pipeline_stages", type=int, default=1,
+                   help="GPipe pipeline stages over a ('stage',) mesh "
+                        "(parallel/pp.py); n_layer must divide by it")
+    p.add_argument("--microbatches", type=int, default=2,
+                   help="GPipe microbatches per step (batch must divide)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel size: Megatron-layout shardings over "
                         "a ('data','model') mesh (parallel/tp.py); n_head and "
@@ -107,7 +112,21 @@ def main(argv=None):
         tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accumulates)
 
     params = n2n.gpt_params
-    if args.model_parallel > 1:
+    pp_loss = None
+    if args.pipeline_stages > 1:
+        from ..parallel import pp
+        assert args.model_parallel == 1, \
+            "--pipeline_stages and --model_parallel are mutually exclusive here"
+        assert args.n_layer % args.pipeline_stages == 0, \
+            "n_layer must divide by --pipeline_stages"
+        mesh = pp.pp_mesh(args.pipeline_stages)
+        stacked, rest = pp.stack_block_params(params, args.n_layer)
+        stacked = pp.shard_stacked(stacked, mesh)
+        params = {"stacked": stacked, "rest": rest}
+        opt_state = tx.init(params)
+        pp_loss = pp.make_pp_net2net_loss(
+            n2n, args.pipeline_stages, args.microbatches, mesh)
+    elif args.model_parallel > 1:
         from ..parallel import tp
         assert args.n_head % args.model_parallel == 0, \
             "n_head must divide by --model_parallel (head-aligned TP shards)"
@@ -124,11 +143,17 @@ def main(argv=None):
                        process_index=jax.process_index(),
                        process_count=jax.process_count())
 
+    if pp_loss is not None:
+        def _loss(p, z_ids, labels, sub):
+            return pp_loss(p["stacked"], p["rest"], z_ids, labels, sub)
+    else:
+        _loss = n2n.loss_fn
+
     @jax.jit
     def train_step(params, opt_state, z_ids, labels, rng):
         rng, sub = jax.random.split(rng)
         (loss, metrics), grads = jax.value_and_grad(
-            n2n.loss_fn, has_aux=True)(params, z_ids, labels, sub)
+            _loss, has_aux=True)(params, z_ids, labels, sub)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics, rng
@@ -164,8 +189,11 @@ def main(argv=None):
         z_ids = n2n.encode_to_z(x, is_image)
         labels = jnp.asarray(batch.get("label", np.zeros(len(x))), jnp.int32)
         with mesh:
-            z_ids = jax.device_put(z_ids, NamedSharding(mesh, P("data")))
-            labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+            # PP mesh has a ('stage',) axis — microbatches stream through the
+            # pipeline from a replicated batch; otherwise batch-shard on data
+            bspec = P() if pp_loss is not None else P("data")
+            z_ids = jax.device_put(z_ids, NamedSharding(mesh, bspec))
+            labels = jax.device_put(labels, NamedSharding(mesh, bspec))
             params, opt_state, metrics, rng = train_step(
                 params, opt_state, z_ids, labels, rng)
         logger.log(step, metrics)

@@ -31,7 +31,12 @@ def build_parser():
     p.add_argument("--save", type=str, default="./eval_out")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--max_batches", type=int, default=None)
-    p.add_argument("--replacewithgt", type=int, default=0)
+    p.add_argument("--replacewithgt", type=int, default=None,
+                   help="replace the first K frames of the reconstruction "
+                        "with ground truth before FVD (vqgan_eval.py:142-145)")
+    p.add_argument("--infer_downsample", type=int, default=None,
+                   help="bilinear-downsample real+recon by 1/N before "
+                        "metrics (vqgan_eval.py:121-135,207-218)")
     p.add_argument("--i3d_path", type=str, default=None)
     p.add_argument("--inception_path", type=str, default=None,
                    help="torch pt_inception-2015-12-05 state_dict for rFID")
@@ -90,16 +95,36 @@ def main(argv=None):
             for i in range(len(xin)):
                 for d, arr in ((in_dir, xin[i]), (out_dir, xre[i])):
                     img = np.clip((arr + 0.5) * 255, 0, 255).astype(np.uint8)
-                    Image.fromarray(img).save(
-                        os.path.join(d, f"b{bi:05d}_{i:03d}.png"))
+                    im = Image.fromarray(img)
+                    if args.infer_downsample:
+                        # reference resizes the dumped PNGs with ANTIALIAS
+                        # (vqgan_eval.py:207-218)
+                        r = img.shape[0] // args.infer_downsample
+                        im = im.resize((r, r), Image.LANCZOS)
+                    im.save(os.path.join(d, f"b{bi:05d}_{i:03d}.png"))
         else:
             B, C, T = x.shape[:3]
             flat_in = xin.reshape(-1, *xin.shape[2:])
             flat_re = xre.reshape(-1, *xre.shape[2:])
             psnrs.extend(np.asarray(psnr(jnp.asarray(flat_in), jnp.asarray(flat_re))).tolist())
             to_u8 = lambda v: np.clip((v + 0.5) * 255, 0, 255).astype(np.uint8)
-            real_clips.append(to_u8(xin))
-            fake_clips.append(to_u8(xre))
+            real_v, fake_v = xin, xre
+            if args.infer_downsample:
+                # bilinear 1/N downsample before FVD (vqgan_eval.py:121-135;
+                # jax.image bilinear == torch align_corners=False)
+                n = args.infer_downsample
+                B_, T_, H_, W_, C_ = real_v.shape
+                shp = (B_, T_, H_ // n, W_ // n, C_)
+                real_v = np.asarray(jax.image.resize(jnp.asarray(real_v), shp, "bilinear"))
+                fake_v = np.asarray(jax.image.resize(jnp.asarray(fake_v), shp, "bilinear"))
+            if args.replacewithgt is not None:
+                # first K frames of the recon replaced by GT
+                # (vqgan_eval.py:142-145)
+                k = args.replacewithgt
+                fake_v = np.concatenate([real_v[:, :k], fake_v[:, k:]], axis=1)
+                assert fake_v.shape[1] == real_v.shape[1]
+            real_clips.append(to_u8(real_v))
+            fake_clips.append(to_u8(fake_v))
         n_batches += 1
 
     fid = None

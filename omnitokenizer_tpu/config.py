@@ -145,6 +145,9 @@ class TrainConfig:
     force_alternation: bool = False
     batch_size: int = 8
     seed: int = 1234
+    # freeze every {enc,dec}_{spatial,temporal}_transformer parameter —
+    # the finetune-stage flag (vqgan_train.py:153-157)
+    freeze_trans: bool = False
 
 
 @dataclass(frozen=True)

@@ -139,6 +139,21 @@ def preprocess_videos(videos_uint8: np.ndarray, target: int = 224) -> np.ndarray
     return 2.0 * x / 255.0 - 1.0
 
 
+def preprocess_videos_styleganv(videos_uint8: np.ndarray, target: int = 224) -> np.ndarray:
+    """styleganv-protocol preprocessing (fvd/styleganv/fvd.py:38-62):
+    scale the SHORTER side to `target` (bilinear), center-crop target^2,
+    then [0,1] -> [-1,1].  (videogpt squashes straight to 224x224.)"""
+    x = jnp.asarray(videos_uint8, jnp.float32) / 255.0
+    B, T, H, W, C = x.shape
+    scale = target / min(H, W)
+    nh, nw = (target, math.ceil(W * scale)) if H < W else (math.ceil(H * scale), target)
+    x = jax.image.resize(x, (B, T, nh, nw, C), method="bilinear")
+    h0 = (nh - target) // 2
+    w0 = (nw - target) // 2
+    x = x[:, :, h0:h0 + target, w0:w0 + target]
+    return (x - 0.5) * 2.0
+
+
 def load_i3d_variables(path: Optional[str] = None, num_classes: int = 400,
                        seed: int = 0) -> Tuple[Dict[str, Any], bool]:
     """Init the flax tree; fill from a torch i3d state_dict when available.
@@ -182,12 +197,16 @@ def load_i3d_variables(path: Optional[str] = None, num_classes: int = 400,
     return variables, True
 
 
-def compute_fvd_logits(videos_uint8: np.ndarray, variables, batch: int = 16) -> np.ndarray:
-    """I3D logits for FVD (fvd.py:31-34,131-139), chunked to bound memory."""
+def compute_fvd_logits(videos_uint8: np.ndarray, variables, batch: int = 16,
+                       preprocess=None) -> np.ndarray:
+    """I3D logits for FVD (fvd.py:31-34,131-139), chunked to bound memory.
+    `preprocess` overrides the videogpt 224-resize (e.g.
+    preprocess_videos_styleganv for the styleganv protocol)."""
     model = InceptionI3d()
     apply = jax.jit(lambda v, x: model.apply(v, x))
+    pre = preprocess or preprocess_videos
     outs = []
     for i in range(0, len(videos_uint8), batch):
-        x = preprocess_videos(videos_uint8[i:i + batch])
+        x = pre(videos_uint8[i:i + batch])
         outs.append(np.asarray(apply(variables, x)))
     return np.concatenate(outs, axis=0)

@@ -146,10 +146,12 @@ class InceptionE(nn.Module):
 
 class FIDInceptionV3(nn.Module):
     dtype: Any = jnp.float32
+    num_classes: int = 1008  # pt_inception-2015-12-05 head size
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, 299, 299, 3) in [-1, 1] -> (B, 2048) pool3 features."""
+    def __call__(self, x: jnp.ndarray, return_logits: bool = False) -> jnp.ndarray:
+        """(B, 299, 299, 3) in [-1, 1] -> (B, 2048) pool3 features, or
+        (B, num_classes) logits for Inception Score when return_logits."""
         d = self.dtype
         x = BasicConv2d(32, (3, 3), stride=2, dtype=d, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), dtype=d, name="Conv2d_2a_3x3")(x)
@@ -169,7 +171,11 @@ class FIDInceptionV3(nn.Module):
         x = InceptionD(dtype=d, name="Mixed_7a")(x)
         x = InceptionE("avg", dtype=d, name="Mixed_7b")(x)
         x = InceptionE("max", dtype=d, name="Mixed_7c")(x)
-        return jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+        pool = jnp.mean(x, axis=(1, 2))  # global avg pool -> (B, 2048)
+        # classification head — used only by the Inception Score path
+        # (evaluation/common_metrics_on_video_quality/calculate_is.py)
+        logits = nn.Dense(self.num_classes, dtype=d, name="fc")(pool)
+        return logits if return_logits else pool
 
 
 def preprocess_images(images01: np.ndarray, size: int = 299) -> jnp.ndarray:
@@ -206,6 +212,11 @@ def load_inception_variables(path: Optional[str] = None, seed: int = 0,
             ts["bn"]["var"] = sd[f"{prefix}.bn.running_var"]
             return
         for k in tp:
+            if k == "fc":
+                if "fc.weight" in sd and sd["fc.weight"].shape[0] == tp[k]["kernel"].shape[1]:
+                    tp[k]["kernel"] = np.ascontiguousarray(sd["fc.weight"].T)
+                    tp[k]["bias"] = sd["fc.bias"]
+                continue
             walk(tp[k], ts[k], f"{prefix}.{k}" if prefix else k)
 
     walk(params, stats, "")
@@ -221,3 +232,28 @@ def compute_fid_features(images01: np.ndarray, variables, batch: int = 32) -> np
     for i in range(0, len(images01), batch):
         outs.append(np.asarray(apply(variables, preprocess_images(images01[i:i + batch]))))
     return np.concatenate(outs, axis=0)
+
+
+def compute_inception_probs(images01: np.ndarray, variables, batch: int = 32) -> np.ndarray:
+    """Softmax class probabilities for Inception Score
+    (calculate_is.py:28-33 uses softmax(inception(x)))."""
+    model = FIDInceptionV3()
+    apply = jax.jit(lambda v, x: jax.nn.softmax(
+        model.apply(v, x, return_logits=True), axis=-1))
+    outs = []
+    for i in range(0, len(images01), batch):
+        outs.append(np.asarray(apply(variables, preprocess_images(images01[i:i + batch]))))
+    return np.concatenate(outs, axis=0)
+
+
+def inception_score(probs: np.ndarray, splits: int = 1) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))) averaged over `splits` chunks
+    (calculate_is.py:46-57)."""
+    n = probs.shape[0]
+    scores = []
+    for k in range(splits):
+        part = probs[k * (n // splits):(k + 1) * (n // splits)]
+        py = np.mean(part, axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-12) - np.log(py + 1e-12)), axis=1)
+        scores.append(float(np.exp(np.mean(kl))))
+    return float(np.mean(scores)), float(np.std(scores))

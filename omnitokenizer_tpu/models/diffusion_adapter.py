@@ -44,8 +44,15 @@ class DiffusionVAEAdapter:
         return self.vae.encode(x, is_image=is_image, seed=seed) * self.scale
 
     def decode(self, z, is_image: bool) -> jnp.ndarray:
-        """scaled latents -> pixels (torch layout)."""
-        return self.vae.decode(jnp.asarray(z) / self.scale, is_image=is_image)
+        """scaled latents -> pixels (torch layout).  Accepts the same layout
+        encode produces (channels-first); for video this performs the Latte
+        rearrange 'b f c h w -> b f h w c' before the wrapper's
+        reference-faithful channels-last 5-dim VAE decode
+        (Diffusion/Latte/sample/sample_ddp.py:202-203)."""
+        z = jnp.asarray(z) / self.scale
+        if not is_image and z.ndim == 5:
+            z = jnp.transpose(z, (0, 2, 3, 4, 1))  # (B,c,t,h,w) -> (B,t,h,w,c)
+        return self.vae.decode(z, is_image=is_image)
 
     @property
     def latent_channels(self) -> int:

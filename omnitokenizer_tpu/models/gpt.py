@@ -435,3 +435,69 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         return toks
 
     return sample
+
+
+def make_hardcfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
+                         top_k: Optional[int] = None, top_p: float = 1.0,
+                         cfg_ratio: float = 1.5, class_first: bool = False,
+                         greedy: bool = False, bucket: Optional[int] = None):
+    """Compiled analogue of sample_with_past_hardcfg (gpt.py:448-486).
+
+    Differs from sample_with_past_cfg in two ways the reference encodes:
+    (1) the uncond stream re-reads [sos, x_0..x_{n-1}] with its OWN dense
+    positions 0..n (the cfg variant offsets uncond pe by +1 to share the
+    cond indices, gpt.py:251), and (2) the guidance scale always grows
+    linearly with the step, t = cfg_ratio * n.  The reference re-runs both
+    full forwards every step; here both streams decode incrementally from
+    separate KV caches — identical math, O(steps) instead of O(steps^2).
+    """
+    gpt = GPT(cfg)
+
+    @jax.jit
+    def sample(params, cls, key, quant=None):
+        params = _cast_params_once(params, cfg)
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        B = cls.shape[0]
+        c = cls + 1
+        sos = jnp.zeros_like(c)
+        prefix = jnp.concatenate([c, sos] if class_first else [sos, c], axis=1)
+        L = prefix.shape[1]
+        assert L + steps - 1 <= cfg.block_size, (
+            f"prefix {L} + steps {steps} exceeds block_size {cfg.block_size}")
+
+        caches_c = init_cache(cfg, B)
+        caches_u = init_cache(cfg, B)
+        logits_c, caches_c = gpt.apply(variables, prefix, caches_c, 0)
+        logits_u, caches_u = gpt.apply(variables, sos, caches_u, 0)
+
+        def blend(lc, lu, n):
+            t = cfg_ratio * n.astype(jnp.float32)
+            return (1.0 + t) * (lc / temperature) - t * (lu / temperature)
+
+        key, sub = jax.random.split(key)
+        first = _sample_token(
+            sub, blend(logits_c[:, -1], logits_u[:, -1], jnp.asarray(0)),
+            1.0, top_k, top_p, greedy)
+
+        def body_for_win(win):
+            def body(carry, i):
+                cc, cu, tok, key = carry
+                key, sub = jax.random.split(key)
+                lc, cc = gpt.apply(variables, tok[:, None], cc, L + i,
+                                   kv_window=win)
+                lu, cu = gpt.apply(variables, tok[:, None], cu, 1 + i,
+                                   kv_window=win)
+                nxt = _sample_token(sub, blend(lc[:, -1], lu[:, -1], i + 1),
+                                    1.0, top_k, top_p, greedy)
+                return (cc, cu, nxt, key), tok
+            return body
+
+        segs = _decode_segments(L, steps - 1, cfg.block_size, bucket)
+        (_, _, last, _), toks = _run_segments(segs, body_for_win,
+                                              (caches_c, caches_u, first, key))
+        toks = jnp.concatenate([jnp.transpose(toks, (1, 0)), last[:, None]], axis=1)
+        return toks
+
+    return sample

@@ -154,17 +154,21 @@ class Net2NetTransformer:
     def make_class_conditional_sampler(self, steps: int, temperature: float = 1.0,
                                        top_k: Optional[int] = None, top_p: float = 1.0,
                                        cfg_ratio: float = 1.5, use_cfg: bool = True,
+                                       scale_cfg: bool = True,
                                        bucket: Optional[int] = None,
                                        int8: bool = False):
         """Returns sample(cls_ids (B,), key) -> clamped codebook ids (B, steps)
-        (transformer_eval.py:27-91 semantics incl. the final clamp)."""
+        (transformer_eval.py:27-91 semantics incl. the final clamp).
+        `scale_cfg` grows the guidance scale linearly with the step — the
+        reference DEFAULT (scale_cfg=not args.no_scale_cfg,
+        transformer_eval.py:240)."""
         cfg = self.cfg
         gpt_cfg, quant = self._serving_gpt_cfg(int8)
         if use_cfg and cfg.starts_with_sos:
             sampler = make_cfg_sampler(
                 gpt_cfg, steps, temperature, top_k, top_p,
                 cfg_ratio=cfg_ratio, class_first=cfg.class_first,
-                bucket=bucket)
+                scale_cfg=scale_cfg, bucket=bucket)
 
             def sample(cls_ids, key):
                 toks = sampler(self.gpt_params, cls_ids.reshape(-1, 1), key,

@@ -127,14 +127,16 @@ class OmniTokenizerVQGAN:
         return out
 
     def decode(self, encodings, is_image: bool):
-        """encodings: VQ indices flat (B,N)/grid (B,t,h,w), or VAE latents
-        channels-first (B,c,h,w)/(B,c,t,h,w) or flat (B,N,c)."""
+        """encodings: VQ indices flat (B,N)/grid (B,t,h,w), or VAE latents —
+        image (B,c,h,w) channels-FIRST (DiT contract,
+        Diffusion/DiT/sample_ddp.py:162) but video (B,t,h,w,c) channels-LAST
+        (Latte contract, Diffusion/Latte/sample/sample_ddp.py:202-203): the
+        reference's 5-dim VAE decode rearranges 'b t h w c -> b c t h w'
+        (omnitokenizer.py:305-311) even though its encode returns
+        channels-first — we reproduce that asymmetry exactly."""
         enc = jnp.asarray(encodings)
-        if self.cfg.use_vae and enc.ndim in (4, 5) and not jnp.issubdtype(enc.dtype, jnp.integer):
-            if enc.ndim == 4:  # (B, c, h, w) -> (B, h, w, c)
-                enc = jnp.transpose(enc, (0, 2, 3, 1))
-            else:  # (B, c, t, h, w) -> (B, t, h, w, c)
-                enc = jnp.transpose(enc, (0, 2, 3, 4, 1))
+        if self.cfg.use_vae and enc.ndim == 4 and not jnp.issubdtype(enc.dtype, jnp.integer):
+            enc = jnp.transpose(enc, (0, 2, 3, 1))  # (B, c, h, w) -> (B, h, w, c)
         recon = self._decode_fn(self.variables, enc, is_image)
         return _to_channels_first(recon, is_image)
 

@@ -67,6 +67,18 @@ def _d_schedule(tc: TrainConfig) -> optax.Schedule:
     return _warmup_cosine(tc, tc.lr * tc.dis_lr_multiplier, warm, end)
 
 
+def _zero_transformer_grads(grads):
+    """Zero grads under any `*_transformer` tree node (the four
+    enc/dec spatial/temporal transformers, vqgan_train.py:153-157)."""
+
+    def f(path, g):
+        if any(str(getattr(k, "key", k)).endswith("_transformer") for k in path):
+            return jnp.zeros_like(g)
+        return g
+
+    return jax.tree_util.tree_map_with_path(f, grads)
+
+
 def _make_opt(schedule, clip: Optional[float], accum: int) -> optax.GradientTransformation:
     chain = []
     if clip is not None:
@@ -261,6 +273,12 @@ class TokenizerTrainer:
                 0.0, 1.0)
 
         g_grads = jax.tree_util.tree_map(lambda g: g / tc.grad_accumulates, g_grads)
+        if tc.freeze_trans:
+            # finetune-stage freeze (vqgan_train.py:153-157): zero the grads of
+            # every *_transformer subtree BEFORE the optimizer, so global-norm
+            # clipping sees only the trainable parameters, like torch's
+            # requires_grad=False
+            g_grads = _zero_transformer_grads(g_grads)
         g_updates, new_opt_g = self.opt_g_tx.update(g_grads, state.opt_g, state.params_g)
         g_updates = jax.tree_util.tree_map(lambda u: u * optim_gen, g_updates)
         new_params_g = optax.apply_updates(state.params_g, g_updates)
@@ -313,7 +331,10 @@ class TokenizerTrainer:
         (discloss, (d_image_loss, d_video_loss, new_stats_d)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d))
 
-        optim_disc = optim_gen
+        # D gate is independent of the G gate: the reference gates the two
+        # optimizers separately (omnitokenizer.py:562-575 vs :595-601) — a
+        # skipped G step must NOT skip the D step.
+        optim_disc = jnp.ones((), jnp.float32)
         if tc.disloss_check_thres is not None:
             optim_disc = optim_disc * jnp.where(discloss < tc.disloss_check_thres, 0.0, 1.0)
 

@@ -104,6 +104,26 @@ def _conv3d_dw(w):  # (dim, 1, kt, kh, kw) -> (kt, kh, kw, 1, dim)
     return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
 
 
+def _conv3d(w):  # torch Conv3d (O, I, kt, kh, kw) -> flax (kt, kh, kw, I, O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _map_cnn_norm(base_path, leaf):
+    """SyncBatchNorm/GroupNorm inside a cnn patch-embed Sequential
+    (omnitokenizer.py:823-838 + base.py:272-277) -> _CnnNormalize('norm')."""
+    if leaf == "weight":
+        return (base_path + ["norm", "scale"], None)
+    if leaf == "bias":
+        return (base_path + ["norm", "bias"], None)
+    if leaf == "running_mean":
+        return (["__batch_stats__"] + base_path + ["norm", "mean"], None)
+    if leaf == "running_var":
+        return (["__batch_stats__"] + base_path + ["norm", "var"], None)
+    if leaf == "num_batches_tracked":
+        return None, None
+    raise KeyError(f"unmapped cnn-norm leaf {leaf}")
+
+
 def _map_transformer_key(parts, block_str):
     """['layers', i, j, ...rest] inside a Transformer -> (flax path, tf)."""
     i = int(parts[1])
@@ -190,6 +210,20 @@ def map_tokenizer_key(key: str, cfg: TokenizerConfig):
         sub = parts[1]
         if sub in ("to_patch_emb_first_frame", "to_patch_emb"):
             idx, leaf = parts[2], parts[3]
+            if cfg.patch_embed == "cnn":
+                # Sequential: 0 Conv3d, 1 Normalize, 2 Rearrange
+                # (omnitokenizer.py:823-838)
+                if idx == "0":
+                    if leaf == "weight":
+                        return ([root, f"{sub}_conv", "kernel"], "conv3d")
+                    return ([root, f"{sub}_conv", "bias"], None)
+                if idx == "1":
+                    path, tf = _map_cnn_norm([f"{sub}_cnorm"], leaf)
+                    if path is None:
+                        return None, None
+                    if path[0] == "__batch_stats__":
+                        return ([path[0], root] + path[1:], tf)
+                    return ([root] + path, tf)
             if idx in ("1", "3"):  # LayerNorms around the patch Linear
                 name = f"{sub}_norm1" if idx == "1" else f"{sub}_norm2"
                 return ([root, name, leaf], None)
@@ -197,6 +231,22 @@ def map_tokenizer_key(key: str, cfg: TokenizerConfig):
                 fl = "kernel" if leaf == "weight" else "bias"
                 return ([root, f"{sub}_proj", fl], "T" if leaf == "weight" else None)
         if sub in ("to_pixels_first_frame", "to_pixels"):
+            if cfg.patch_embed == "cnn":
+                # Sequential: 0 Rearrange, 1 ConvTranspose3d, 2 Normalize
+                # (omnitokenizer.py:1019-1035); our decoder keeps the torch
+                # ConvTranspose3d kernel layout (dim, C, kt, p, p) verbatim
+                idx, leaf = parts[2], parts[3]
+                if idx == "1":
+                    if leaf == "weight":
+                        return ([root, f"{sub}_conv_kernel"], None)
+                    return ([root, f"{sub}_conv_bias"], None)
+                if idx == "2":
+                    path, tf = _map_cnn_norm([f"{sub}_conv_cnorm"], leaf)
+                    if path is None:
+                        return None, None
+                    if path[0] == "__batch_stats__":
+                        return ([path[0], root] + path[1:], tf)
+                    return ([root] + path, tf)
             leaf = {"weight": "kernel", "bias": "bias"}[parts[3]]
             return ([root, sub, leaf], "T" if leaf == "kernel" else None)
         if sub.endswith("_transformer"):
@@ -223,6 +273,8 @@ def _apply_tf(val: np.ndarray, tf: Optional[str]) -> np.ndarray:
         return _t(val)
     if tf == "dwconv":
         return _conv3d_dw(val)
+    if tf == "conv3d":
+        return _conv3d(val)
     raise ValueError(tf)
 
 
@@ -240,6 +292,7 @@ def convert_tokenizer_state(
     """
     params: Dict[str, Any] = {}
     buffers: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
 
     def insert(tree, path, val):
         node = tree
@@ -259,6 +312,8 @@ def convert_tokenizer_state(
         val = _apply_tf(np.asarray(val, np.float32), tf)
         if path[0] == "__buffers__":
             insert(buffers, path[1:], val)
+        elif path[0] == "__batch_stats__":
+            insert(batch_stats, path[1:], val)
         else:
             insert(params, path, val)
 
@@ -270,6 +325,8 @@ def convert_tokenizer_state(
         buffers["codebook"]["call_cnt"] = jnp.ones((), jnp.int32)
 
     variables = {"params": params, "buffers": buffers}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     if template is not None:
         variables = _merge_into_template(template, variables, strict=strict)

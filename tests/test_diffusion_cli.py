@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from omnitokenizer_tpu.cli import dit_sample, dit_train, latte_sample, latte_train
 
 TINY = [

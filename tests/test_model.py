@@ -111,7 +111,9 @@ def test_vae_mode():
     xv = RNG.randn(1, 3, 5, 32, 32).astype(np.float32) * 0.2
     zv = vae.encode(xv, is_image=False)
     assert zv.shape == (1, 8, 3, 8, 8)  # (B, c, t, h, w)
-    recv = vae.decode(zv, is_image=False)
+    # the reference's 5-dim VAE decode expects channels-LAST latents
+    # (omnitokenizer.py:305-311; Latte sample_ddp.py:202 rearranges first)
+    recv = vae.decode(np.transpose(np.asarray(zv), (0, 2, 3, 4, 1)), is_image=False)
     assert recv.shape == (1, 3, 5, 32, 32)
 
     rec2, aux = vae.reconstruct(x, is_image=True)

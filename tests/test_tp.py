@@ -137,3 +137,36 @@ def test_sharded_codebook_argmin(devices):
     fn = make_vq_argmin_sharded(mesh, "model")
     got = np.asarray(jax.jit(fn)(flat_rep, emb_sharded))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tokenizer_sequence_parallel_training_step(devices):
+    """SP-sharded tokenizer TRAINING gradients equal the replicated grads
+    (VERDICT r1 item 9: backward, not just forward)."""
+    from omnitokenizer_tpu import OmniTokenizerVQGAN
+
+    cfg = TokenizerConfig(
+        embedding_dim=16, n_codes=32, codebook_dim=4, resolution=16,
+        sequence_length=3, patch_size=4, temporal_patch_size=2,
+        enc_block="t", dec_block="t", spatial_depth=1, temporal_depth=1,
+        dim_head=8, heads=2, spatial_pos="rope")
+    wrapper = OmniTokenizerVQGAN.from_config(cfg, seed=0)
+    net, variables = wrapper.net, wrapper.variables
+    params, buffers = variables["params"], variables["buffers"]
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 3, 16, 16, 3), jnp.float32) * 0.2
+
+    def loss(p, xin):
+        recon, aux = net.apply({"params": p, "buffers": buffers}, xin, False)
+        return jnp.mean(jnp.abs(recon - xin)) + aux["commitment_loss"]
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss))(params, x)
+
+    mesh = tp.tp_mesh(2)
+    x_sp = jax.device_put(x, NamedSharding(mesh, tp.sp_pixel_spec()))
+    p_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    l_sp, g_sp = jax.jit(jax.value_and_grad(loss))(p_rep, x_sp)
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        jax.device_get(g_sp), jax.device_get(g_ref))

@@ -150,3 +150,74 @@ def test_full_train_step_on_mesh():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(a - b).max()), old_params, new_params)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_freeze_trans_keeps_transformer_params():
+    """--freeze_trans (vqgan_train.py:153-157): the four *_transformer
+    subtrees stay bitwise-identical across a step while other params move."""
+    from omnitokenizer_tpu.training.trainer import TokenizerTrainer
+
+    trainer = TokenizerTrainer(
+        SMALL,
+        LossConfig(perceptual_weight=0.0, image_gan_weight=0.1, video_gan_weight=0.1,
+                   gan_feat_weight=0.0, disc_layers=2, discriminator_iter_start=0),
+        TrainConfig(grad_accumulates=1, warmup_steps=10, max_steps=100,
+                    warmup_lr_init=1e-4, disloss_check_thres=None,
+                    freeze_trans=True),
+    )
+    state = trainer.init_state(seed=0, image_size=16)
+    batch = jnp.asarray(RNG.randn(4, 5, 16, 16, 3).astype(np.float32) * 0.2)
+    new_state, _ = jax.jit(trainer.train_step)(state, batch)
+
+    old = jax.device_get(state.params_g)
+    new = jax.device_get(new_state.params_g)
+
+    def collect(tree, pred):
+        out = {}
+        def walk(node, path, hit):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, path + (k,), hit or pred(k))
+            else:
+                out.setdefault(hit, []).append((path, node))
+        walk(tree, (), False)
+        return out
+
+    frozen_old = collect(old, lambda k: k.endswith("_transformer"))
+    frozen_new = collect(new, lambda k: k.endswith("_transformer"))
+    # transformer params identical
+    for (p1, a), (p2, b) in zip(frozen_old[True], frozen_new[True]):
+        assert p1 == p2
+        np.testing.assert_array_equal(a, b, err_msg=str(p1))
+    # at least one non-transformer param moved
+    moved = any(np.abs(a - b).max() > 0
+                for (_, a), (_, b) in zip(frozen_old[False], frozen_new[False]))
+    assert moved
+
+
+def test_d_gate_independent_of_g_gate():
+    """A skipped G step (recloss over threshold) must not skip the D step
+    (reference gates independently, omnitokenizer.py:562-601)."""
+    from omnitokenizer_tpu.training.trainer import TokenizerTrainer
+
+    trainer = TokenizerTrainer(
+        SMALL,
+        LossConfig(perceptual_weight=0.0, image_gan_weight=0.1, video_gan_weight=0.1,
+                   gan_feat_weight=0.0, disc_layers=2, discriminator_iter_start=0),
+        TrainConfig(grad_accumulates=1, warmup_steps=10, max_steps=100,
+                    warmup_lr_init=1e-4, disloss_check_thres=None,
+                    recloss_check_thres=1e-9),  # always trips after 100k steps
+    )
+    state = trainer.init_state(seed=0, image_size=16)
+    state = state.replace(step=jnp.asarray(200_000, jnp.int32))  # past the gate window
+    batch = jnp.asarray(RNG.randn(4, 5, 16, 16, 3).astype(np.float32) * 0.2)
+    new_state, metrics = jax.jit(trainer.train_step)(state, batch)
+    assert float(metrics["optim_gen"]) == 0.0
+    assert float(metrics["optim_disc"]) == 1.0
+    # G params unchanged, D params moved
+    og, ng = jax.device_get(state.params_g), jax.device_get(new_state.params_g)
+    same = jax.tree_util.tree_map(lambda a, b: bool(np.array_equal(a, b)), og, ng)
+    assert all(jax.tree_util.tree_leaves(same))
+    od, nd = jax.device_get(state.params_d), jax.device_get(new_state.params_d)
+    dmoved = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), od, nd)
+    assert max(jax.tree_util.tree_leaves(dmoved)) > 0

@@ -3,6 +3,9 @@ tokenizer checkpoint (JSON-sidecar self-described) + native GPT msgpack,
 class-conditional CFG generation with bucketed decode."""
 
 import glob
+import pytest
+
+pytestmark = pytest.mark.slow
 import os
 
 import jax

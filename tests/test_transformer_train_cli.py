@@ -8,6 +8,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 from omnitokenizer_tpu import OmniTokenizerVQGAN, TokenizerConfig

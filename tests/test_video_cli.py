@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from omnitokenizer_tpu.cli import transformer_eval, vqgan_eval, vqgan_train
 
 TINY = [

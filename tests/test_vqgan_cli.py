@@ -9,6 +9,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 from omnitokenizer_tpu.cli import vqgan_eval, vqgan_train
