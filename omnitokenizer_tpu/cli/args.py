@@ -167,6 +167,10 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--sample_ratio", type=float, nargs="+", default=None)
     p.add_argument("--force_alternation", action="store_true")
     p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--data_worker_mode", type=str, default="thread",
+                   choices=["thread", "process"],
+                   help="process = spawn-pool decode workers (the analogue "
+                        "of torch DataLoader num_workers, data.py:512-535)")
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--sequence_length", type=int, default=17)
     p.add_argument("--fps", type=int, default=-1)

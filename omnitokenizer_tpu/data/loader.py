@@ -33,13 +33,36 @@ def _collate(samples: List[Dict]) -> Dict[str, Any]:
     return out
 
 
+_worker_dataset = None
+
+
+def _proc_init(ds_bytes: bytes) -> None:
+    global _worker_dataset
+    import pickle
+
+    _worker_dataset = pickle.loads(ds_bytes)
+
+
+def _proc_fetch(idxs):
+    return _collate([_worker_dataset[int(i)] for i in idxs])
+
+
 class DataLoader:
-    """Shuffling, epoch-cycling, thread-prefetching batch iterator."""
+    """Shuffling, epoch-cycling, prefetching batch iterator.
+
+    worker_mode:
+      * 'thread' (default): GIL-sharing decode threads — fine when the codec
+        releases the GIL or the host has spare cores per JAX process;
+      * 'process': a spawn-context multiprocessing pool (the analogue of
+        torch DataLoader num_workers>0, data.py:512-535) — decode scales
+        with cores independent of the GIL; the dataset must be picklable.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 1234, drop_last: bool = True,
                  num_prefetch: int = 4, num_workers: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 worker_mode: str = "thread"):
         if len(dataset) == 0:
             raise ValueError("DataLoader got an empty dataset — check data_folder/"
                              "data_list (video datasets walk '<root>/train|test' "
@@ -57,6 +80,8 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.process_index = process_index
         self.process_count = process_count
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
@@ -70,6 +95,9 @@ class DataLoader:
                     yield chunk
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+            return
         idx_stream = self._index_stream()
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         lock = threading.Lock()
@@ -97,6 +125,28 @@ class DataLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _iter_process(self) -> Iterator[Dict[str, Any]]:
+        """Spawn-context pool with a bounded in-flight window: at most
+        max(num_prefetch, num_workers) batches pending, results yielded in
+        submission order (deterministic like the thread path); worker
+        exceptions re-raise in the consumer."""
+        import multiprocessing as mp
+        import pickle
+        from collections import deque
+
+        ctx = mp.get_context("spawn")  # never fork a process that owns JAX
+        idx_stream = self._index_stream()
+        window = max(self.num_prefetch, self.num_workers)
+        with ctx.Pool(self.num_workers, initializer=_proc_init,
+                      initargs=(pickle.dumps(self.dataset),)) as pool:
+            pending: deque = deque()
+            for _ in range(window):
+                pending.append(pool.apply_async(_proc_fetch, (next(idx_stream),)))
+            while True:
+                batch = pending.popleft().get()
+                pending.append(pool.apply_async(_proc_fetch, (next(idx_stream),)))
+                yield batch
 
     def steps_per_epoch(self) -> int:
         return len(self.dataset) // (self.batch_size * self.process_count)
@@ -179,6 +229,8 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
                               train=train, resolution=args.resolution,
                               resizecrop=getattr(args, "resizecrop", False))
         loaders.append(DataLoader(ds, bs, shuffle=train,
+                                  num_workers=getattr(args, "num_workers", 2),
+                                  worker_mode=getattr(args, "data_worker_mode", "thread"),
                                   process_index=process_index,
                                   process_count=process_count))
 

@@ -90,6 +90,16 @@ def install_stubs() -> None:
             def log(self, *a, **kw):
                 pass
 
+            @classmethod
+            def load_from_checkpoint(cls, path, strict=True, **kw):
+                # minimal Lightning mechanics: re-instantiate from the
+                # embedded hparams namespace, then load_state_dict
+                ckpt = torch.load(path, map_location="cpu", weights_only=False)
+                args = ckpt["hyper_parameters"]["args"]
+                model = cls(args)
+                model.load_state_dict(ckpt["state_dict"], strict=strict)
+                return model
+
         class LightningDataModule:
             pass
 
@@ -202,3 +212,20 @@ def lightning_ckpt_bytes(model) -> bytes:
         buf,
     )
     return buf.getvalue()
+
+
+def make_net2net_args(vqvae_path: str, **overrides) -> argparse.Namespace:
+    """Args namespace for the reference Net2NetTransformer
+    (lm_transformer.py:462-493 parser + the driver-level flags it reads)."""
+    lm = ref_module("lm_transformer")
+    parser = argparse.ArgumentParser(add_help=False)
+    parser = lm.Net2NetTransformer.add_model_specific_args(parser)
+    args, _ = parser.parse_known_args([])
+    args.vqvae = vqvae_path
+    args.tokenizer = "omnitokenizer"
+    args.vtokens = False
+    args.vtokens_pos = False
+    args.class_cond_dim = 10
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args

@@ -139,3 +139,26 @@ def test_hdf5_text(tmp_path):
     assert s["video"].shape == (8, 24, 24, 3)
     assert s["text"].shape == (16,)
     assert s["text"].dtype == np.int32
+
+
+def test_dataloader_process_workers(tmp_path):
+    """worker_mode='process': spawn-pool decode matches the thread path's
+    batches shape-for-shape and errors propagate."""
+    import imageio.v3 as iio
+
+    from omnitokenizer_tpu.data.loader import DataLoader
+    from omnitokenizer_tpu.data.video import VideoDataset
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "train").mkdir()
+    for i in range(4):
+        clip = rng.randint(0, 255, (6, 16, 16, 3), np.uint8)
+        iio.imwrite(str(tmp_path / "train" / f"c{i}.gif"), clip)
+
+    ds = VideoDataset(str(tmp_path), sequence_length=5, resolution=16, train=True)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, worker_mode="process")
+    it = iter(loader)
+    b1, b2 = next(it), next(it)
+    assert b1["video"].shape == (2, 5, 16, 16, 3)
+    assert b2["video"].shape == (2, 5, 16, 16, 3)
+    assert np.isfinite(b1["video"]).all()

@@ -110,3 +110,63 @@ def test_sample_with_past_topk_filter_parity(pair):
     sample = make_sampler(cfg, steps, top_k=5, top_p=0.9, greedy=True)
     toks_j = sample(params, jnp.asarray(cond.numpy()), jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(toks_j), toks_t.numpy())
+
+
+@pytest.mark.slow
+def test_net2net_full_forward_parity(tmp_path):
+    """The REAL reference Net2NetTransformer (frozen real VQGAN first stage +
+    real minGPT), loaded via our download.load_transformer conversion path:
+    z-token encoding, vocab offsets, prefix layout, targets and logits must
+    all match (lm_transformer.py:136-192)."""
+    from reference_oracle import (lightning_ckpt_bytes, make_net2net_args,
+                                  make_vqgan_args)
+
+    om = ref_module("omnitokenizer")
+    vq_args = make_vqgan_args(embedding_dim=64, n_codes=64, codebook_dim=8,
+                              spatial_depth=2, temporal_depth=2, dim_head=16,
+                              heads=4, enc_block="tt", dec_block="tt",
+                              patch_size=8, norm_type="batch")
+    torch.manual_seed(0)
+    vq = om.VQGAN(vq_args).eval()
+    vq_path = str(tmp_path / "vq.ckpt")
+    with open(vq_path, "wb") as f:
+        f.write(lightning_ckpt_bytes(vq))
+
+    lm = ref_module("lm_transformer")
+    n2n_args = make_net2net_args(vq_path, starts_with_sos=True,
+                                 block_size=256, n_layer=2, n_head=2,
+                                 n_embd=32, p_drop_cond=None)
+    torch.manual_seed(1)
+    ref = lm.Net2NetTransformer(n2n_args).eval()
+    gpt_path = str(tmp_path / "gpt.ckpt")
+    torch.save({"state_dict": ref.state_dict(),
+                "hyper_parameters": {"args": n2n_args}}, gpt_path)
+
+    from omnitokenizer_tpu.download import load_transformer
+
+    ours = load_transformer(gpt_path, vq_path)
+    assert ours.cfg.gpt.vocab_size == ref.transformer.config.vocab_size
+
+    g = torch.Generator().manual_seed(7)
+    x = torch.randn(2, 3, 5, 64, 64, generator=g) * 0.25
+    c = torch.randint(0, 10, (2,), generator=g)
+
+    with torch.no_grad():
+        logits_t, target_t = ref(x, c)
+
+    z_ids = ours.encode_to_z(np.asarray(x), is_image=False)
+    cz, target_j, prefix = ours.build_sequence(
+        jnp.asarray(np.asarray(z_ids)), jnp.asarray(c.numpy()))
+    # reference targets are offset z-ids (lm_transformer.py:143-147,185)
+    np.testing.assert_array_equal(
+        np.asarray(target_j) + ours.z_offset, target_t.numpy())
+    logits_j, _ = ours.gpt.apply({"params": ours.gpt_params}, cz[:, :-1])
+    logits_j = np.asarray(logits_j)[:, prefix:]
+    np.testing.assert_allclose(logits_j, logits_t.numpy(), atol=5e-4, rtol=1e-3)
+
+    # loss parity: CE over the same logits/targets
+    loss_j, _ = ours.loss_fn(ours.gpt_params, jnp.asarray(np.asarray(z_ids)),
+                             jnp.asarray(c.numpy()))
+    loss_t = torch.nn.functional.cross_entropy(
+        logits_t.reshape(-1, logits_t.shape[-1]), target_t.reshape(-1))
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
