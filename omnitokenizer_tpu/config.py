@@ -148,6 +148,11 @@ class TrainConfig:
     # freeze every {enc,dec}_{spatial,temporal}_transformer parameter —
     # the finetune-stage flag (vqgan_train.py:153-157)
     freeze_trans: bool = False
+    # 1 (default): codebook EMA advances once per G+D step (our fused
+    # one-forward design); 2: reference dynamics — the D pass re-runs the
+    # generator forward, advancing the EMA a second time per step
+    # (omnitokenizer.py:548,582).  See ABLATION.md for the convergence A/B.
+    ema_advances_per_step: int = 1
 
 
 @dataclass(frozen=True)

@@ -199,21 +199,28 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
         batch_sizes = batch_sizes * len(paths)
 
     def _is_image_list(dlist: str) -> bool:
-        # name heuristic (reference data.py:481-508 keys off dataset names),
-        # then a robust fallback: peek at the first entry's file extension
-        if any(s in dlist.lower() for s in
-               ("imagenet", "celeb", "ffhq", "image", "coco")):
-            return True
+        # the first entry's extension is authoritative — a list NAME
+        # containing 'image' must not misroute a video dataset; fall back to
+        # the reference's dataset-name keys (data.py:481-508) only when the
+        # list is unreadable or the extension is ambiguous
         try:
             with open(dlist) as f:
                 for ln in f:
                     ln = ln.strip()
-                    if ln:
-                        ext = ln.split("\t")[0].rsplit(".", 1)[-1].lower()
-                        return ext in ("jpg", "jpeg", "png", "bmp", "webp")
+                    if not ln:
+                        continue
+                    ext = ln.split("\t")[0].rsplit(".", 1)[-1].lower()
+                    if ext in ("jpg", "jpeg", "png", "bmp", "webp"):
+                        return True
+                    if ext in ("avi", "mp4", "webm", "mkv", "mov", "gif"):
+                        return False
+                    break
         except OSError:
             pass
-        return False
+        low = dlist.lower()
+        if any(s in low for s in ("ucf", "k400", "k600", "sthv2", "moment")):
+            return False
+        return any(s in low for s in ("imagenet", "celeb", "ffhq", "image", "coco"))
 
     loaders = []
     for path, dlist, bs in zip(paths, lists, batch_sizes):

@@ -147,7 +147,7 @@ class Encoder(nn.Module):
             attn_bias_mode=cfg.attn_bias_mode,
             dtype=cfg.dtype,
             name="enc_spatial_transformer",
-        )(x, video_shape, is_spatial=True)
+        )(x, video_shape, is_spatial=True, training=training)
 
         hw = x.shape[1]
         nh = nw = int(hw ** 0.5)
@@ -176,7 +176,7 @@ class Encoder(nn.Module):
             attn_bias_mode=cfg.attn_bias_mode,
             dtype=cfg.dtype,
             name="enc_temporal_transformer",
-        )(x, video_shape2, is_spatial=False)
+        )(x, video_shape2, is_spatial=False, training=training)
         if flat_temporal:
             tokens = rearrange(x, "(b h w t) d -> b t h w d", b=b, h=nh, w=nw, t=t)
         else:
@@ -246,7 +246,7 @@ class Decoder(nn.Module):
             attn_bias_mode=cfg.attn_bias_mode,
             dtype=cfg.dtype,
             name="dec_temporal_transformer",
-        )(x, video_shape, is_spatial=False)
+        )(x, video_shape, is_spatial=False, training=training)
 
         # omnitokenizer.py:1077-1081: spatial up-blocks ('n'/'r') start from a
         # down_ratio-smaller grid; standard configs have down_ratio == 1.
@@ -273,7 +273,7 @@ class Decoder(nn.Module):
             attn_bias_mode=cfg.attn_bias_mode,
             dtype=cfg.dtype,
             name="dec_spatial_transformer",
-        )(x, video_shape, is_spatial=True)
+        )(x, video_shape, is_spatial=True, training=training)
         x = rearrange(x, "(b t) (h w) d -> b t h w d", b=b, h=h, w=w)
 
         first_tok, rest_tok = x[:, :1], x[:, 1:]

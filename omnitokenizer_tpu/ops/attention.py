@@ -41,6 +41,7 @@ def sdpa(
     scale: float,
     bias: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    training: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + bias) v over (B, H, N, D) tensors.
 
@@ -53,7 +54,9 @@ def sdpa(
     """
     from .pallas.mha import mha_pallas, mha_supported
 
-    if mha_supported(q, bias, causal):
+    # the kernel has no linearization rule: training (jax.grad) takes the
+    # XLA math below, which differentiates cleanly
+    if not training and mha_supported(q, bias, causal):
         return mha_pallas(q, k, v, scale, causal)
 
     fast = q.dtype == jnp.bfloat16
@@ -98,7 +101,11 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, is_spatial: bool = True,
-                 n_frames: Optional[int] = None) -> jnp.ndarray:
+                 n_frames: Optional[int] = None,
+                 training: bool = False) -> jnp.ndarray:
+        # Pallas fast paths have no linearization rules — under jax.grad
+        # they CRASH on real TPU (the CPU test path never dispatches them),
+        # so the training step always takes the autodiff-able XLA math
         was_flat = x.ndim == 2
         inner = self.dim_head * self.heads
 
@@ -130,6 +137,7 @@ class Attention(nn.Module):
             needs_bias_flat = self.attn_bias_mode == "einsum" and self.causal
             bias_tag = None if not needs_bias_flat else object()
             if (self.dtype == jnp.bfloat16 and not self.is_initializing()
+                    and not training
                     and ln_qkv_supported(self.dtype, self.dim)
                     and small_n_supported(n_frames, bias_tag)):
                 q2, kv2 = ln_qkv(x, gamma, wq, wkv)
@@ -150,7 +158,7 @@ class Attention(nn.Module):
         # (trace-verified: +1.6ms/step), so those keep the unfused path.
         prec = mm_precision(self.dtype)
         if (ln_qkv_supported(self.dtype, self.dim) and N % 8 == 0
-                and not self.is_initializing()):
+                and not self.is_initializing() and not training):
             q2, kv2 = ln_qkv(x.reshape(B * N, self.dim), gamma, wq, wkv)
             q = q2.reshape(B, N, inner)
             kv = kv2.reshape(B, N, inner * 2)
@@ -173,7 +181,7 @@ class Attention(nn.Module):
         uses_rope = self.spatial_pos == "rope" and is_spatial
         needs_bias = self.attn_bias_mode == "einsum" and (
             (self.spatial_pos == "rel" and is_spatial) or self.causal)
-        fast_ok = self.dtype == jnp.bfloat16
+        fast_ok = self.dtype == jnp.bfloat16 and not training
         bias_tag = None if not needs_bias else object()
         if fast_ok and not uses_rope and small_n_supported(N, bias_tag):
             out = small_n_attention(q, kv, q_scale, k_scale,
@@ -228,7 +236,8 @@ class Attention(nn.Module):
             ab = alibi_bias(self.heads, N, N)[None]
             bias = ab if bias is None else bias + ab
 
-        out = sdpa(q, k, v, self.scale, bias=bias, causal=self.causal)
+        out = sdpa(q, k, v, self.scale, bias=bias, causal=self.causal,
+                   training=training)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
         return proj_out(out)
 
@@ -245,7 +254,7 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         inner = int(self.mult * (2.0 / 3.0) * self.dim)
 
         # parameters live in the standard module layout either way, so
@@ -261,7 +270,8 @@ class FeedForward(nn.Module):
 
         from .pallas.geglu_ff import geglu_ff, geglu_ff_supported
 
-        if geglu_ff_supported(self.dtype, self.dim) and not self.is_initializing():
+        if (geglu_ff_supported(self.dtype, self.dim)
+                and not self.is_initializing() and not training):
             flat = x.reshape(-1, self.dim)
             out = geglu_ff(flat.astype(self.dtype), ln_w, ln_b, w1, w2)
             return out.reshape(*x.shape[:-1], self.dim)

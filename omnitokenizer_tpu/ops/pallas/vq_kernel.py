@@ -37,7 +37,14 @@ def _vq_kernel(x_ref, e_ref, esq_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=())
 def vq_argmin_pallas(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
-    """flat (M, D) f32, embeddings (K, D) f32 -> (M,) int32."""
+    """flat (M, D) f32, embeddings (K, D) f32 -> (M,) int32.
+
+    Inputs are stop_gradient-ed: argmin is piecewise-constant (zero
+    gradient), and without this the pallas_call has no linearization rule —
+    jax.grad of a training step through the codebook CRASHES on real TPU
+    (the CPU test path dispatches to vq_argmin_xla and never sees it)."""
+    flat = jax.lax.stop_gradient(flat)
+    embeddings = jax.lax.stop_gradient(embeddings)
     m, d = flat.shape
     k = embeddings.shape[0]
     m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M

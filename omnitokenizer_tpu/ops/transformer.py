@@ -40,6 +40,7 @@ class Transformer(nn.Module):
         x: jnp.ndarray,
         video_shape: Tuple[int, int, int, int],
         is_spatial: bool = True,
+        training: bool = False,
     ) -> jnp.ndarray:
         assert len(self.block) == self.depth
         vs = tuple(video_shape)
@@ -58,8 +59,9 @@ class Transformer(nn.Module):
                     dtype=self.dtype,
                     name=f"layers_{i}_attn",
                 )(x, is_spatial=is_spatial,
-                  n_frames=vs[1] if x.ndim == 2 else None) + x
-                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x) + x
+                  n_frames=vs[1] if x.ndim == 2 else None,
+                  training=training) + x
+                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x, training=training) + x
             elif blk == "w":
                 x = WindowAttention(
                     dim=self.dim,
@@ -68,14 +70,14 @@ class Transformer(nn.Module):
                     dtype=self.dtype,
                     name=f"layers_{i}_attn",
                 )(x) + x
-                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x) + x
+                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x, training=training) + x
             elif blk in ("a", "m", "l"):
                 x = Pooling(blk, self.dim, dtype=self.dtype, name=f"layers_{i}_attn")(x)
-                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x) + x
+                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x, training=training) + x
                 vs = (vs[0], vs[1], vs[2] // 2, vs[3] // 2)
             elif blk in ("n", "r"):
                 x = Up(blk, self.dim, dtype=self.dtype, name=f"layers_{i}_attn")(x)
-                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x) + x
+                x = FeedForward(self.dim, mult=self.ff_mult, dtype=self.dtype, name=f"layers_{i}_ff")(x, training=training) + x
                 vs = (vs[0], vs[1], vs[2] * 2, vs[3] * 2)
             else:
                 raise NotImplementedError(blk)

@@ -174,8 +174,8 @@ class TokenizerTrainer:
         T = video.shape[1]
         B = video.shape[0]
 
-        rng, k_frame, k_aug_d, k_aug_g, k_cb, k_noise1, k_noise2, k_noise3, k_gauss = (
-            jax.random.split(state.rng, 9))
+        (rng, k_frame, k_aug_d, k_aug_g, k_cb, k_noise1, k_noise2, k_noise3,
+         k_gauss, k_cb2) = jax.random.split(state.rng, 10)
 
         frame_idx = jax.random.randint(k_frame, (B,), 0, T)
 
@@ -282,6 +282,21 @@ class TokenizerTrainer:
         g_updates, new_opt_g = self.opt_g_tx.update(g_grads, state.opt_g, state.params_g)
         g_updates = jax.tree_util.tree_map(lambda u: u * optim_gen, g_updates)
         new_params_g = optax.apply_updates(state.params_g, g_updates)
+
+        if tc.ema_advances_per_step == 2 and not cfg.use_vae:
+            # reference dynamics: the D pass re-runs the generator with the
+            # UPDATED params, advancing the codebook EMA a second time on the
+            # same batch (omnitokenizer.py:548 then :582).  Costs one extra
+            # encoder forward per step, like the reference's two-forward loop.
+            variables2 = {"params": new_params_g, "buffers": new_buffers}
+            h2 = jax.lax.stop_gradient(self.net.apply(
+                variables2, video, is_image,
+                method=OmniTokenizerNet.encode_latent))
+            _, mut2 = self.net.apply(
+                variables2, h2, True, None,
+                method=OmniTokenizerNet.quantize,
+                mutable=["buffers"], rngs={"codebook": k_cb2})
+            new_buffers = mut2["buffers"]
 
         # ---------------- discriminator pass ----------------
         x_recon_sg = jax.lax.stop_gradient(x_recon)

@@ -157,3 +157,67 @@ def test_window_mha_matches_reference():
     want = jnp.einsum("bhij,bhjd->bhid", attn, v).transpose(0, 2, 1, 3)
     want = np.asarray(want.reshape(BW, NW, C))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_training_path_never_dispatches_pallas(monkeypatch):
+    """Pallas kernels have no linearization rules — jax.grad through one
+    CRASHES on real TPU (found live in round 2: vq_argmin + mha under the
+    GAN train step).  Force every 'supported' gate open and make each
+    kernel raise: the training=True path must still run, the serving path
+    must dispatch (and therefore raise here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import omnitokenizer_tpu.ops.pallas.mha as mha
+    import omnitokenizer_tpu.ops.pallas.cosine_mha as cmha
+    import omnitokenizer_tpu.ops.pallas.small_attn as sattn
+    import omnitokenizer_tpu.ops.pallas.ln_qkv as lnq
+    import omnitokenizer_tpu.ops.pallas.geglu_ff as gff
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel dispatched under training")
+
+    monkeypatch.setattr(mha, "mha_supported", lambda *a, **k: True)
+    monkeypatch.setattr(mha, "mha_pallas", boom)
+    monkeypatch.setattr(cmha, "cosine_mha_supported", lambda *a, **k: True)
+    monkeypatch.setattr(cmha, "cosine_mha", boom)
+    monkeypatch.setattr(sattn, "small_n_supported", lambda *a, **k: True)
+    monkeypatch.setattr(sattn, "small_n_attention", boom)
+    monkeypatch.setattr(sattn, "small_n_attention_flat", boom)
+    monkeypatch.setattr(lnq, "ln_qkv_supported", lambda *a, **k: True)
+    monkeypatch.setattr(lnq, "ln_qkv", boom)
+    monkeypatch.setattr(gff, "geglu_ff_supported", lambda *a, **k: True)
+    monkeypatch.setattr(gff, "geglu_ff", boom)
+
+    from omnitokenizer_tpu.config import TokenizerConfig
+    from omnitokenizer_tpu.models.tokenizer import OmniTokenizerNet
+
+    cfg = TokenizerConfig(
+        embedding_dim=16, n_codes=32, codebook_dim=4, resolution=16,
+        sequence_length=3, patch_size=4, temporal_patch_size=2,
+        enc_block="t", dec_block="t", spatial_depth=1, temporal_depth=1,
+        dim_head=8, heads=2, dtype=jnp.bfloat16)
+    net = OmniTokenizerNet(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 16, 16, 3),
+                    jnp.float32) * 0.2
+    variables = net.init({"params": jax.random.PRNGKey(0),
+                          "codebook": jax.random.PRNGKey(1)}, x, False,
+                         training=True)
+
+    # training path: must NOT touch any kernel, and must differentiate
+    def loss(p):
+        recon, aux = net.apply(
+            {"params": p, "buffers": variables["buffers"]}, x, False,
+            training=True, rngs={"codebook": jax.random.PRNGKey(2)},
+            mutable=["buffers"])[0]
+        return jnp.mean(jnp.abs(recon - x)) + aux["commitment_loss"]
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(v).all() for v in jax.tree_util.tree_leaves(g))
+
+    # serving path: the same forced-open gates MUST dispatch -> boom
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pallas kernel dispatched"):
+        net.apply(variables, x, False, training=False)
