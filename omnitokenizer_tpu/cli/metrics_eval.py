@@ -67,9 +67,11 @@ def main(argv=None):
     ap.add_argument("--inception_path", default=None,
                     help="torch pt_inception-2015-12-05 state_dict for FID/IS")
     ap.add_argument("--metrics", default="psnr,ssim,fvd",
-                    help="comma list from psnr,ssim,fvd,lpips,is,fid "
-                         "(mirrors evaluation/common_metrics_on_video_quality "
-                         "+ pytorch-fid dir-vs-dir)")
+                    help="comma list from psnr,ssim,fvd,lpips,is,fid,sfid,"
+                         "prec_recall (mirrors "
+                         "evaluation/common_metrics_on_video_quality + "
+                         "pytorch-fid dir-vs-dir + the OpenAI evaluator's "
+                         "sFID/precision/recall, evaluator.py:82-112)")
     ap.add_argument("--fvd_method", default="videogpt",
                     choices=["videogpt", "styleganv"],
                     help="videogpt: plain 224 resize (fvd/fvd.py:18-29); "
@@ -151,35 +153,50 @@ def main(argv=None):
             print("[metrics_eval] no VGG backbone weights; skipping lpips")
 
     is_mean = is_std = None
-    fid = None
-    if ("is" in want or "fid" in want) and args.inception_path:
+    fid = sfid = prec = recall = None
+    inception_metrics = {"is", "fid", "sfid", "prec_recall"} & want
+    if inception_metrics and args.inception_path:
         from ..eval.inception import (compute_fid_features,
                                       compute_inception_probs,
+                                      compute_spatial_features,
                                       inception_score, load_inception_variables)
 
         inc_vars, pretrained = load_inception_variables(args.inception_path)
         if pretrained:
             gen_frames = np.concatenate(
                 [c.astype(np.float32) / 255.0 for c in gen_u8])
+            gt_frames = np.concatenate(
+                [c.astype(np.float32) / 255.0 for c in gt_u8])
             if "is" in want:
                 probs = compute_inception_probs(gen_frames, inc_vars)
                 is_mean, is_std = inception_score(probs, splits=1)
-            if "fid" in want:
-                gt_frames = np.concatenate(
-                    [c.astype(np.float32) / 255.0 for c in gt_u8])
+            if "fid" in want or "prec_recall" in want:
                 fr = compute_fid_features(gt_frames, inc_vars)
                 ff = compute_fid_features(gen_frames, inc_vars)
+                if "fid" in want:
+                    from ..eval.frechet import frechet_distance
+
+                    fid = float(frechet_distance(ff, fr))
+                if "prec_recall" in want:
+                    from ..eval.prec_recall import precision_recall
+
+                    prec, recall = precision_recall(fr, ff)
+            if "sfid" in want:
                 from ..eval.frechet import frechet_distance
 
-                fid = float(frechet_distance(ff, fr))
+                sr = compute_spatial_features(gt_frames, inc_vars)
+                sf = compute_spatial_features(gen_frames, inc_vars)
+                sfid = float(frechet_distance(sf, sr))
         else:
-            print("[metrics_eval] inception weights unreadable; skipping is/fid")
+            print("[metrics_eval] inception weights unreadable; skipping "
+                  + ",".join(sorted(inception_metrics)))
 
     result = {"clips": n,
               "psnr": float(np.mean(psnrs)) if psnrs else None,
               "ssim": float(np.mean(ssims)) if ssims else None,
               "fvd": fvd, "lpips": lpips_val,
-              "is": is_mean, "is_std": is_std, "fid": fid}
+              "is": is_mean, "is_std": is_std, "fid": fid, "sfid": sfid,
+              "precision": prec, "recall": recall}
     print(json.dumps(result))
     if args.save:
         os.makedirs(os.path.dirname(os.path.abspath(args.save)), exist_ok=True)

@@ -43,6 +43,9 @@ def build_parser():
                         "step-scaled t=cfg_ratio*n (transformer_eval.py:152,240)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 decode weights (ops/int8.py)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="shard decode over a ('data','model') mesh: Megatron "
+                        "param shards + head-sharded KV caches (parallel/tp)")
     p.add_argument("--decode_bucket", type=int, default=512,
                    help="segmented attention windows for long AR decode "
                         "(0 = full-window every step)")
@@ -123,12 +126,25 @@ def main(argv=None):
         print(f"frame-predicted {done} clips to {args.save}")
         return
 
+    cache_sharding = None
+    tp_mesh_ctx = None
+    if args.model_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import tp
+
+        assert args.n_head % args.model_parallel == 0
+        assert not args.int8, "--int8 and --model_parallel are mutually exclusive"
+        tp_mesh_ctx = tp.tp_mesh(args.model_parallel)
+        n2n.gpt_params = tp.shard_params(n2n.gpt_params, tp_mesh_ctx)
+        cache_sharding = NamedSharding(tp_mesh_ctx, P(None, "model"))
+
     sampler = n2n.make_class_conditional_sampler(
         steps, temperature=args.temperature, top_k=args.top_k,
         top_p=args.top_p, cfg_ratio=args.cfg_ratio,
         use_cfg=args.starts_with_sos, scale_cfg=not args.no_scale_cfg,
         bucket=args.decode_bucket or None,
-        int8=args.int8)
+        int8=args.int8, cache_sharding=cache_sharding)
 
     # shard classes across processes (transformer_eval.py:228-242)
     pidx, pcount = jax.process_index(), jax.process_count()

@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--save", type=str, default="./eval_out")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--train", action="store_true",
+                   help="evaluate on the train split (vqgan_eval.py:94-97)")
     p.add_argument("--replacewithgt", type=int, default=None,
                    help="replace the first K frames of the reconstruction "
                         "with ground truth before FVD (vqgan_eval.py:142-145)")
@@ -57,7 +59,7 @@ def main(argv=None):
     cfg = A.tokenizer_config_from(args)
     model = OmniTokenizerVQGAN.load_from_checkpoint(args.vqgan_ckpt, cfg=cfg)
 
-    loader = VideoData(args, train=False)
+    loader = VideoData(args, train=args.train)
     is_image = args.inference_type == "image"
 
     os.makedirs(args.save, exist_ok=True)
@@ -125,6 +127,12 @@ def main(argv=None):
                 assert fake_v.shape[1] == real_v.shape[1]
             real_clips.append(to_u8(real_v))
             fake_clips.append(to_u8(fake_v))
+            if args.save_videos:
+                # GIF grids like the reference (vqgan_eval.py:155-158)
+                from ..utils.media import save_video_grid
+
+                save_video_grid(fake_v, os.path.join(out_dir, f"recons_{bi}.gif"))
+                save_video_grid(real_v, os.path.join(in_dir, f"gt_{bi}.gif"))
         n_batches += 1
 
     fid = None

@@ -85,11 +85,14 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     c7: int
     dtype: Any = jnp.float32
+    sow_branch1x1: bool = False  # Mixed_6d taps its 1x1 branch for sFID
 
     @nn.compact
     def __call__(self, x):
         d, c7 = self.dtype, self.c7
         b1 = BasicConv2d(192, (1, 1), dtype=d, name="branch1x1")(x)
+        if self.sow_branch1x1:
+            self.sow("intermediates", "spatial_tap", b1)
         b7 = BasicConv2d(c7, (1, 1), dtype=d, name="branch7x7_1")(x)
         b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7_2")(b7)
         b7 = BasicConv2d(192, (7, 1), padding=(3, 0), dtype=d, name="branch7x7_3")(b7)
@@ -166,7 +169,7 @@ class FIDInceptionV3(nn.Module):
         x = InceptionB(dtype=d, name="Mixed_6a")(x)
         x = InceptionC(128, dtype=d, name="Mixed_6b")(x)
         x = InceptionC(160, dtype=d, name="Mixed_6c")(x)
-        x = InceptionC(160, dtype=d, name="Mixed_6d")(x)
+        x = InceptionC(160, dtype=d, name="Mixed_6d", sow_branch1x1=True)(x)
         x = InceptionC(192, dtype=d, name="Mixed_6e")(x)
         x = InceptionD(dtype=d, name="Mixed_7a")(x)
         x = InceptionE("avg", dtype=d, name="Mixed_7b")(x)
@@ -228,6 +231,24 @@ def load_inception_variables(path: Optional[str] = None, seed: int = 0,
 def compute_fid_features(images01: np.ndarray, variables, batch: int = 32) -> np.ndarray:
     model = FIDInceptionV3()
     apply = jax.jit(lambda v, x: model.apply(v, x))
+    outs = []
+    for i in range(0, len(images01), batch):
+        outs.append(np.asarray(apply(variables, preprocess_images(images01[i:i + batch]))))
+    return np.concatenate(outs, axis=0)
+
+
+def compute_spatial_features(images01: np.ndarray, variables, batch: int = 32) -> np.ndarray:
+    """First 7 channels of the Mixed_6d 1x1 branch (TF node 'mixed_6/conv:0'),
+    flattened to (B, 7*17*17) = (B, 2023) — the sFID feature space
+    (evaluator.py:25-26,644-652; sFID = Frechet distance on these)."""
+    model = FIDInceptionV3()
+
+    @jax.jit
+    def apply(v, x):
+        _, inter = model.apply(v, x, mutable=["intermediates"])
+        sp = inter["intermediates"]["Mixed_6d"]["spatial_tap"][0][..., :7]
+        return sp.reshape(sp.shape[0], -1)
+
     outs = []
     for i in range(0, len(images01), batch):
         outs.append(np.asarray(apply(variables, preprocess_images(images01[i:i + batch]))))

@@ -303,9 +303,23 @@ def _run_segments(segs, body_for_win, carry):
     return carry, toks
 
 
+def _constrain_caches(caches, cache_sharding):
+    """Tensor-parallel decode: pin each (B, H, block, hd) cache leaf to
+    `cache_sharding` (e.g. NamedSharding(mesh, P(None, 'model'))) so the KV
+    sweep shards over heads alongside Megatron-sharded params — GSPMD keeps
+    the per-step attention local to each device and only the logits
+    reduction crosses the mesh (beyond-reference; the video-scale
+    5120-token decode is cache-sweep-bound, PERF.md)."""
+    if cache_sharding is None:
+        return caches
+    return jax.tree_util.tree_map(
+        lambda c: jax.lax.with_sharding_constraint(c, cache_sharding), caches)
+
+
 def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: float = 1.0,
-                 greedy: bool = False, bucket: Optional[int] = None):
+                 greedy: bool = False, bucket: Optional[int] = None,
+                 cache_sharding=None):
     """Compiled analogue of sample_with_past (gpt.py:327-358).
 
     Returns sample(params, cond, key) -> (B, steps) tokens, where `cond`
@@ -325,7 +339,7 @@ def make_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         # would make dynamic_update_slice clamp and silently corrupt decode
         assert L + steps - 1 <= cfg.block_size, (
             f"prefix {L} + steps {steps} exceeds block_size {cfg.block_size}")
-        caches = init_cache(cfg, B)
+        caches = _constrain_caches(init_cache(cfg, B), cache_sharding)
 
         # prefill: run the whole prefix at once, writing the cache
         logits, caches = gpt.apply(variables, cond, caches, 0)
@@ -357,7 +371,7 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
                      top_k: Optional[int] = None, top_p: float = 1.0,
                      cfg_ratio: float = 1.5, class_first: bool = False,
                      scale_cfg: bool = False, greedy: bool = False,
-                     bucket: Optional[int] = None):
+                     bucket: Optional[int] = None, cache_sharding=None):
     """Compiled analogue of sample_with_past_cfg (gpt.py:387-444): dual
     cond/uncond KV caches, blended logits (1+t)*cond - t*uncond.
 
@@ -380,8 +394,8 @@ def make_cfg_sampler(cfg: GPTConfig, steps: int, temperature: float = 1.0,
         assert L + steps - 1 <= cfg.block_size, (
             f"prefix {L} + steps {steps} exceeds block_size {cfg.block_size}")
 
-        caches_c = init_cache(cfg, B)
-        caches_u = init_cache(cfg, B)
+        caches_c = _constrain_caches(init_cache(cfg, B), cache_sharding)
+        caches_u = _constrain_caches(init_cache(cfg, B), cache_sharding)
 
         logits_c, caches_c = gpt.apply(variables, prefix, caches_c, 0)
         # uncond stream sees only sos at pe index 0 / cache slot 0; its

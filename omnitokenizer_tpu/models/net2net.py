@@ -156,7 +156,8 @@ class Net2NetTransformer:
                                        cfg_ratio: float = 1.5, use_cfg: bool = True,
                                        scale_cfg: bool = True,
                                        bucket: Optional[int] = None,
-                                       int8: bool = False):
+                                       int8: bool = False,
+                                       cache_sharding=None):
         """Returns sample(cls_ids (B,), key) -> clamped codebook ids (B, steps)
         (transformer_eval.py:27-91 semantics incl. the final clamp).
         `scale_cfg` grows the guidance scale linearly with the step — the
@@ -168,7 +169,8 @@ class Net2NetTransformer:
             sampler = make_cfg_sampler(
                 gpt_cfg, steps, temperature, top_k, top_p,
                 cfg_ratio=cfg_ratio, class_first=cfg.class_first,
-                scale_cfg=scale_cfg, bucket=bucket)
+                scale_cfg=scale_cfg, bucket=bucket,
+                cache_sharding=cache_sharding)
 
             def sample(cls_ids, key):
                 toks = sampler(self.gpt_params, cls_ids.reshape(-1, 1), key,
@@ -177,7 +179,7 @@ class Net2NetTransformer:
                                 cfg.first_stage_vocab_size - 1)
         else:
             sampler = make_sampler(gpt_cfg, steps, temperature, top_k, top_p,
-                                   bucket=bucket)
+                                   bucket=bucket, cache_sharding=cache_sharding)
 
             def sample(cls_ids, key):
                 if cfg.unconditional:

@@ -56,3 +56,103 @@ def test_fvd_pipeline_end_to_end_random_features():
     assert logits.shape == (4, 400)
     d = frechet_distance(logits, logits)
     assert d < 1e-4
+
+
+def test_inception_score_math():
+    """IS = 1 for uniform predictions; > 1 for confident diverse ones
+    (calculate_is.py:46-57)."""
+    from omnitokenizer_tpu.eval.inception import inception_score
+
+    uniform = np.full((16, 10), 0.1)
+    m, s = inception_score(uniform, splits=2)
+    np.testing.assert_allclose(m, 1.0, rtol=1e-6)
+
+    confident = np.eye(10)[np.arange(16) % 10] * 0.99 + 0.001
+    confident /= confident.sum(1, keepdims=True)
+    m2, _ = inception_score(confident, splits=1)
+    assert m2 > 5.0
+
+
+def test_styleganv_preprocess_geometry():
+    """Shorter side -> 224, center crop, [-1, 1]
+    (fvd/styleganv/fvd.py:38-62)."""
+    from omnitokenizer_tpu.eval.i3d import preprocess_videos_styleganv
+
+    v = np.random.RandomState(0).randint(0, 255, (1, 3, 112, 200, 3), np.uint8)
+    out = np.asarray(preprocess_videos_styleganv(v))
+    assert out.shape == (1, 3, 224, 224, 3)
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+    # portrait orientation: width is the shorter side
+    v2 = np.random.RandomState(1).randint(0, 255, (1, 3, 300, 150, 3), np.uint8)
+    out2 = np.asarray(preprocess_videos_styleganv(v2))
+    assert out2.shape == (1, 3, 224, 224, 3)
+
+
+def test_inception_fc_head_shapes():
+    """return_logits emits (B, 1008) pt_inception-head logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnitokenizer_tpu.eval.inception import FIDInceptionV3
+
+    model = FIDInceptionV3()
+    x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    pool = model.apply(variables, x)
+    logits = model.apply(variables, x, return_logits=True)
+    assert pool.shape == (1, 2048)
+    assert logits.shape == (1, 1008)
+
+
+def test_manifold_radii_knn():
+    """Radius = squared distance to the k-th NN, self at index 0
+    (evaluator.py:300-332)."""
+    from omnitokenizer_tpu.eval.prec_recall import manifold_radii
+
+    # 1-D points 0, 1, 3, 7 -> k=1 squared radii: 1, 1, 4, 16
+    feats = np.array([[0.0], [1.0], [3.0], [7.0]], np.float32)
+    r = manifold_radii(feats, k=1)
+    np.testing.assert_allclose(r, [1.0, 1.0, 4.0, 16.0], rtol=1e-5)
+
+
+def test_precision_recall_extremes():
+    from omnitokenizer_tpu.eval.prec_recall import precision_recall
+
+    rng = np.random.RandomState(0)
+    ref = rng.randn(32, 8).astype(np.float32)
+
+    # identical sets: everything covered both ways
+    p, r = precision_recall(ref, ref.copy(), k=3)
+    assert p == 1.0 and r == 1.0
+
+    # far-away samples: nothing covered
+    p2, r2 = precision_recall(ref, ref + 1000.0, k=3)
+    assert p2 == 0.0 and r2 == 0.0
+
+
+def test_precision_recall_partial_overlap():
+    """Half the samples sit on the ref manifold -> precision ~0.5; ref fully
+    covered by the overlapping half -> recall high."""
+    from omnitokenizer_tpu.eval.prec_recall import precision_recall
+
+    rng = np.random.RandomState(1)
+    ref = rng.randn(64, 4).astype(np.float32)
+    sample = np.concatenate([ref[:32], ref[:32] + 500.0])
+    p, r = precision_recall(ref, sample, k=3)
+    assert 0.3 < p < 0.7
+    assert r >= 0.4
+
+
+def test_spatial_features_sfid_shape():
+    """sFID features = first 7 channels of Mixed_6d branch1x1, 17x17 grid
+    -> 2023 dims (evaluator.py:25-26,644-652)."""
+    from omnitokenizer_tpu.eval.inception import (
+        FIDInceptionV3, compute_spatial_features)
+
+    model = FIDInceptionV3()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    imgs = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    sp = compute_spatial_features(imgs, variables, batch=2)
+    assert sp.shape == (2, 7 * 17 * 17)
+    assert np.all(np.isfinite(sp))

@@ -170,3 +170,27 @@ def test_tokenizer_sequence_parallel_training_step(devices):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
         jax.device_get(g_sp), jax.device_get(g_ref))
+
+
+def test_tp_sharded_kv_decode_matches_replicated(devices):
+    """Greedy decode with Megatron-sharded params + head-sharded KV caches
+    (cache_sharding) must produce the same tokens as replicated decode."""
+    from omnitokenizer_tpu.config import GPTConfig
+    from omnitokenizer_tpu.models.gpt import GPT, make_sampler
+
+    gcfg = GPTConfig(vocab_size=96, block_size=40, n_layer=2, n_head=4, n_embd=32)
+    gpt = GPT(gcfg)
+    cond = jnp.asarray(np.random.RandomState(0).randint(1, 96, (2, 3)))
+    params = gpt.init(jax.random.PRNGKey(0), cond)["params"]
+
+    ref_sample = make_sampler(gcfg, steps=10, greedy=True)
+    toks_ref = np.asarray(ref_sample(params, cond, jax.random.PRNGKey(1)))
+
+    mesh = tp.tp_mesh(4)  # ('data', 'model') = (2, 4); 4 heads over model
+    params_tp = tp.shard_params(params, mesh)
+    cache_sharding = NamedSharding(mesh, P(None, "model"))
+    tp_sample = make_sampler(gcfg, steps=10, greedy=True,
+                             cache_sharding=cache_sharding)
+    with mesh:
+        toks_tp = np.asarray(tp_sample(params_tp, cond, jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(toks_tp, toks_ref)

@@ -128,3 +128,24 @@ def test_metrics_eval_cli(tmp_path):
     assert 0.8 < res["ssim"] <= 1.0
     assert res["fvd"] is None
     assert os.path.exists(tmp_path / "m.json")
+
+
+def test_metrics_eval_cli_metric_selection(tmp_path):
+    """--metrics selection: psnr-only run skips ssim; is/fid/lpips degrade
+    gracefully without weights."""
+    from omnitokenizer_tpu.cli import metrics_eval
+
+    rng = np.random.RandomState(1)
+    gen, gt = tmp_path / "gen", tmp_path / "gt"
+    gen.mkdir(); gt.mkdir()
+    for i in range(2):
+        clip = rng.rand(3, 16, 16, 3).astype(np.float32) - 0.5
+        np.savez(gen / f"c{i}.npz", video=clip)
+        np.savez(gt / f"c{i}.npz", video=clip)
+    res = metrics_eval.main(["--gen_dir", str(gen), "--gt_dir", str(gt),
+                             "--metrics", "psnr,is,fid,lpips"])
+    assert res["psnr"] is not None
+    assert res["ssim"] is None          # not requested
+    assert res["is"] is None            # no inception weights
+    assert res["fid"] is None
+    assert res["fvd"] is None
