@@ -368,8 +368,9 @@ class OmniTokenizerNet(nn.Module):
 
     def quantize(self, h: jnp.ndarray, training: bool = False, axis_name: Optional[str] = None):
         if self.cfg.l2_code:
-            norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
-            h = h / jnp.maximum(norm, 1e-12)
+            from ..ops.attention import l2norm
+
+            h = l2norm(h)  # zero-safe backward (see ops.attention.l2norm)
         return self.codebook(h, training=training, axis_name=axis_name)
 
     def decode_latent(self, z: jnp.ndarray, is_image: bool,

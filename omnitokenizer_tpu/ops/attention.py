@@ -29,7 +29,16 @@ NEG_INF = -1e9
 
 
 def l2norm(t: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize semantics: x / max(||x||, eps)."""
+    """torch F.normalize semantics: x / max(||x||, eps).
+
+    sqrt(max(sumsq, eps^2)) == max(||x||, eps) forward, but routes the sqrt
+    backward to the constant branch at zero vectors, giving torch's zero
+    gradient there — jnp.linalg.norm's vjp is 0/0 = NaN at ||x|| = 0, and
+    zero vectors DO occur: constant pixel patches pass through the
+    patch-embed LayerNorm as exactly 0, and k/v read that pre-norm input
+    (reference quirk, attention.py:404-412)."""
+    sq = jnp.sum(t * t, axis=axis, keepdims=True)
+    return t / jnp.sqrt(jnp.maximum(sq, eps * eps))
     n = jnp.linalg.norm(t, axis=axis, keepdims=True)
     return t / jnp.maximum(n, eps)
 

@@ -206,7 +206,9 @@ class VectorQuantize:
         bshape = z.shape[:-1]
         flat = z.reshape(-1, self.dim).astype(jnp.float32)
         if self.use_cosine_sim:
-            flat_n = flat / jnp.maximum(jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
+            from .attention import l2norm
+
+            flat_n = l2norm(flat)  # zero-safe backward (commit loss path)
         else:
             flat_n = flat
 

@@ -233,3 +233,19 @@ def test_transformer_block_string():
     variables = tr.init(jax.random.PRNGKey(0), jnp.asarray(x), (2, 1, 4, 4), is_spatial=True)
     y = tr.apply(variables, jnp.asarray(x), (2, 1, 4, 4), is_spatial=True)
     assert y.shape == (2, 4, 16)  # 'a' block pooled 16 -> 4 tokens
+
+
+def test_l2norm_zero_vector_grad():
+    """jnp.linalg.norm's vjp is NaN at zero vectors; l2norm must give torch
+    F.normalize's zero gradient there (zero tokens DO reach the attention
+    k/v projections: constant patches pass the patch-embed LN as exactly 0
+    and k/v read the pre-norm input, reference attention.py:404-412)."""
+    from omnitokenizer_tpu.ops.attention import l2norm
+
+    x = jnp.concatenate([jnp.zeros((2, 8)), jnp.ones((2, 8))])
+    g = jax.grad(lambda t: jnp.sum(l2norm(t) * jnp.arange(8.0)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # forward still matches x / max(||x||, eps)
+    np.testing.assert_allclose(
+        np.asarray(l2norm(x)[2:]), np.asarray(x[2:] / np.sqrt(8.0)), rtol=1e-6)
+    assert np.all(np.asarray(l2norm(x)[:2]) == 0.0)

@@ -221,3 +221,31 @@ def test_d_gate_independent_of_g_gate():
     od, nd = jax.device_get(state.params_d), jax.device_get(new_state.params_d)
     dmoved = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), od, nd)
     assert max(jax.tree_util.tree_leaves(dmoved)) > 0
+
+
+def test_train_grads_finite_on_constant_video():
+    """Regression: a batch with constant (zero-information) patches produced
+    NaN grads through the cosine-attention l2norm on step 0 (zero k/v rows
+    from the pre-norm kv quirk); the whole optimizer state then NaN'd via
+    clip_by_global_norm."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnitokenizer_tpu.training.trainer import TokenizerTrainer
+
+    trainer = TokenizerTrainer(
+        SMALL,
+        LossConfig(perceptual_weight=0.0, image_gan_weight=0.05,
+                   video_gan_weight=0.05, gan_feat_weight=0.5,
+                   disc_layers=2, discriminator_iter_start=0),
+        TrainConfig(grad_accumulates=1, warmup_steps=5, max_steps=50,
+                    warmup_lr_init=1e-4, lr=3e-4, disloss_check_thres=None),
+    )
+    state = trainer.init_state(seed=0, image_size=16)
+    batch = jnp.full((4, 5, 16, 16, 3), -0.5, jnp.float32)  # flat background
+    batch = batch.at[:, :, 4:8, 4:8].set(0.3)               # one square
+    state, metrics = jax.jit(trainer.train_step)(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} is not finite"
+    for p, leaf in jax.tree_util.tree_leaves_with_path(state.params_g):
+        assert np.all(np.isfinite(np.asarray(leaf))), jax.tree_util.keystr(p)
