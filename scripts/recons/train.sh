@@ -18,7 +18,7 @@ python -m omnitokenizer_tpu.cli.vqgan_train \
   --resolution 256 --sequence_length 17 --discriminator_iter_start 0 --norm_type batch \
   --perceptual_weight 4 --image_gan_weight 0.01 --video_gan_weight 1 \
   --gan_feat_weight 4 --logitslaplace_weight 0.4 --initialize_vit \
-  --disloss_check_thres 0.001 --default_root_dir {CKPT_DIR}/stage1
+  --disloss_check_thres 0.001 --ema_advances_per_step 2 --default_root_dir {CKPT_DIR}/stage1
 
 # Stage 2: image+video joint, multi-resolution, RoPE, inflated init
 python -m omnitokenizer_tpu.cli.vqgan_train \
