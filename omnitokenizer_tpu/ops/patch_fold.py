@@ -95,6 +95,11 @@ def folded_patch_embed(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     xr = jax.lax.reshape(
         xd.reshape(B, t, pt, h, p, w, p, C), (B, t, h, w, feat),
         dimensions=(0, 1, 3, 5, 2, 4, 6, 7))
+    # keep the projection a plain dot on the materialized (…, feat) tensor:
+    # without the barrier XLA pattern-matches the reshape+dot back into a
+    # convolution and inserts an extra full-res layout copy to feed its
+    # conv lowering (trace: +0.53 ms copy.215 before a "convolution fusion")
+    xr = jax.lax.optimization_barrier(xr)
 
     y = jax.lax.dot_general(xr, kperm, (((4,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -127,7 +132,7 @@ def fast_to_pixels(tok: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     y = jax.lax.dot_general(tok.astype(dtype), kperm,
                             (((4,), (0,)), ((), ())), precision=precision,
                             preferred_element_type=jnp.float32)
-    y = (y + bperm).astype(dtype)
+    y = jax.lax.optimization_barrier((y + bperm).astype(dtype))
     # one fused permute+retile: b t h w (pt p1 p2 c) -> b (t pt) (h p1) (w p2) c
     return jax.lax.reshape(
         y.reshape(B, t, h, w, pt, p, p, C), (B, t * pt, h * p, w * p, C),
