@@ -101,9 +101,10 @@ class DataLoader:
         idx_stream = self._index_stream()
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         lock = threading.Lock()
+        stop = threading.Event()
 
         def worker():
-            while True:
+            while not stop.is_set():
                 with lock:
                     try:
                         idxs = next(idx_stream)
@@ -112,19 +113,39 @@ class DataLoader:
                 try:
                     batch = _collate([self.dataset[int(i)] for i in idxs])
                 except BaseException as e:  # propagate to consumer
-                    q.put(e)
+                    if not stop.is_set():
+                        q.put(e)
                     return
-                q.put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
-        while True:
-            item = q.get()
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # generator .close(): stop + JOIN the workers so no in-flight
+            # decode outlives the iterator (a caller may delete the dataset
+            # directory right after close — the shutdown race printed
+            # spurious 'decode failed' retries otherwise)
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in threads:
+                t.join(timeout=10.0)
 
     def _iter_process(self) -> Iterator[Dict[str, Any]]:
         """Spawn-context pool with a bounded in-flight window: at most

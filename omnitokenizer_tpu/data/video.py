@@ -80,33 +80,8 @@ def sample_frame_indices(vlen: int, num_frm: int, strategy: str,
     raise NotImplementedError(strategy)
 
 
-def load_video_frames(
-    path: str,
-    num_frm: int,
-    strategy: str = "center",
-    fps: float = -1,
-    height: Optional[int] = None,
-    width: Optional[int] = None,
-    rng: Optional[np.random.RandomState] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode -> optional fps resample -> window sample -> (T,H,W,3) uint8 +
-    validity mask, zero-padded to `num_frm` (video_utils.py:316-332)."""
-    rng = rng or np.random.RandomState(0)
-    frames, native_fps = _read_frames_imageio(path)
-    if height and width:
-        frames = _resize_frames(frames, height, width)
-
-    if fps not in (-1, None) and native_fps > fps:
-        duration = len(frames) / native_fps
-        n = int(duration * fps)
-        if n >= 1:
-            idx = np.linspace(0, len(frames) - 1, n).astype(int)
-            frames = frames[idx]
-
-    vlen = len(frames)
-    idx = sample_frame_indices(vlen, num_frm, strategy, rng)
-    out = frames[np.clip(idx, 0, vlen - 1)]
-
+def _pad_mask(out: np.ndarray, num_frm: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad short clips + validity mask (video_utils.py:316-332)."""
     if len(out) < num_frm:
         pad = np.zeros((num_frm - len(out),) + out.shape[1:], np.uint8)
         mask = np.concatenate([np.ones(len(out), np.uint8),
@@ -115,6 +90,80 @@ def load_video_frames(
     else:
         mask = np.ones(num_frm, np.uint8)
     return out, mask
+
+
+def _resample_index(n: int, native_fps: float, fps: float) -> np.ndarray:
+    """fps-resample re-index map (video_utils.py:231-246 linspace semantics)."""
+    if fps in (-1, None) or native_fps <= fps:
+        return np.arange(n)
+    m = int(n / native_fps * fps)
+    if m < 1:
+        return np.arange(n)
+    return np.linspace(0, n - 1, m).astype(int)
+
+
+def _load_video_frames_native(
+    path: str, num_frm: int, strategy: str, fps: float,
+    height: Optional[int], width: Optional[int],
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """FFmpeg-native fast path: probe first, compute the sampled window from
+    metadata, and decode ONLY [min, max] of the needed source frames (frames
+    before the window skip the swscale color-convert/resize half)."""
+    from ..native import build as _nb
+
+    n, native_fps, w0, h0 = _nb.probe_video(path)
+    if native_fps <= 0:
+        native_fps = 30.0
+    resample = _resample_index(n, native_fps, fps)
+    vlen = len(resample)
+    idx = sample_frame_indices(vlen, num_frm, strategy, rng)
+    src = resample[np.clip(idx, 0, vlen - 1)]
+    start, stop = int(src.min()), int(src.max()) + 1
+    block = _nb.decode_video_window(path, start, stop - start,
+                                    width or w0, height or h0)
+    return _pad_mask(block[src - start], num_frm)
+
+
+def load_video_frames(
+    path: str,
+    num_frm: int,
+    strategy: str = "center",
+    fps: float = -1,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+    backend: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode -> optional fps resample -> window sample -> (T,H,W,3) uint8 +
+    validity mask, zero-padded to `num_frm` (video_utils.py:316-332).
+
+    backend: 'auto' prefers the native FFmpeg decoder (native/video_decode.cc)
+    and falls back to imageio; 'native' / 'imageio' force one path.
+    """
+    rng = rng or np.random.RandomState(0)
+
+    if backend != "imageio" and os.environ.get("OMNITOK_NO_NATIVE_VIDEO") != "1":
+        try:
+            return _load_video_frames_native(
+                path, num_frm, strategy, fps, height, width, rng)
+        except Exception:
+            if backend == "native":
+                raise
+            # fall through to imageio; `rng` may have advanced by one draw,
+            # which only shifts which random window is sampled
+
+    frames, native_fps = _read_frames_imageio(path)
+    if height and width:
+        frames = _resize_frames(frames, height, width)
+
+    ridx = _resample_index(len(frames), native_fps, fps)
+    frames = frames[ridx] if len(ridx) != len(frames) else frames
+
+    vlen = len(frames)
+    idx = sample_frame_indices(vlen, num_frm, strategy, rng)
+    out = frames[np.clip(idx, 0, vlen - 1)]
+    return _pad_mask(out, num_frm)
 
 
 class VideoDataset:

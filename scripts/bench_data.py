@@ -66,6 +66,10 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         it.close()  # stop prefetch workers before the tempdir vanishes
         rate = frames / dt
+        from omnitokenizer_tpu.native.build import video_available
+
+        native = (video_available()
+                  and os.environ.get("OMNITOK_NO_NATIVE_VIDEO") != "1")
         result = {
             "metric": "data_loader_frames_per_sec",
             "value": round(rate, 2),
@@ -73,6 +77,7 @@ def main(argv=None):
             "batches": batches,
             "workers": args.workers,
             "mode": args.mode,
+            "decode": "native-ffmpeg" if native else "imageio",
             "vs_train_rate": round(rate / args.train_rate, 4),
         }
         print(json.dumps(result))
