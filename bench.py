@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -33,7 +34,8 @@ def main():
     net = wrapper.net
     variables = wrapper.serving_variables()
 
-    B, T = 4, 17
+    B = int(os.environ.get("OMNITOK_BENCH_BATCH", "4"))
+    T = 17
 
     def roundtrip(variables, x, acc):
         recon, aux = net.apply(variables, x, False)

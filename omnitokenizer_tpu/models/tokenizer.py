@@ -82,11 +82,14 @@ class Encoder(nn.Module):
             # bf16 fast path: LN1+Linear folded into one strided conv
             # (ops/patch_fold.py); identical param tree, bf16-level numerics
             fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
+            # Pallas relayout has no linearization rule: serving path only
+            kern = fast and not training and not self.is_initializing()
             if fast:
                 g1, b1 = NormParams(C * p * p, name="to_patch_emb_first_frame_norm1")()
                 k1, kb1 = DenseParams(cfg.embedding_dim, C * p * p,
                                       name="to_patch_emb_first_frame_proj")()
-                ff = folded_patch_embed(first, g1, b1, k1, kb1, 1, p, cfg.dtype)
+                ff = folded_patch_embed(first, g1, b1, k1, kb1, 1, p, cfg.dtype,
+                                        use_pallas=kern)
             else:
                 ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
                 ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
@@ -99,7 +102,8 @@ class Encoder(nn.Module):
                     g2, b2 = NormParams(C * pt * p * p, name="to_patch_emb_norm1")()
                     k2, kb2 = DenseParams(cfg.embedding_dim, C * pt * p * p,
                                           name="to_patch_emb_proj")()
-                    rf = folded_patch_embed(rest, g2, b2, k2, kb2, pt, p, cfg.dtype)
+                    rf = folded_patch_embed(rest, g2, b2, k2, kb2, pt, p, cfg.dtype,
+                                            use_pallas=kern)
                 else:
                     rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
                     rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
@@ -281,11 +285,14 @@ class Decoder(nn.Module):
             # bf16 fast path: weight-side column permutation makes the
             # un-patchify a coarse-chunk transpose (ops/patch_fold.py)
             fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
+            # Pallas relayout has no linearization rule: serving path only
+            kern = fast and not training and not self.is_initializing()
             if fast:
                 kf, bf = DenseParams(C * p * p, x.shape[-1],
                                      name="to_pixels_first_frame")()
                 first_frame = fast_to_pixels(first_tok, kf, bf, 1, p, C, cfg.dtype,
-                                             mm_precision(cfg.dtype))
+                                             mm_precision(cfg.dtype),
+                                             use_pallas=kern)
             else:
                 ff = nn.Dense(C * p * p, dtype=cfg.dtype,
                               precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
@@ -296,7 +303,8 @@ class Decoder(nn.Module):
                     kr, br = DenseParams(C * pt * p * p, x.shape[-1],
                                          name="to_pixels")()
                     rest_frames = fast_to_pixels(rest_tok, kr, br, pt, p, C, cfg.dtype,
-                                                 mm_precision(cfg.dtype))
+                                                 mm_precision(cfg.dtype),
+                                                 use_pallas=kern)
                 else:
                     rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
                                   precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)

@@ -154,3 +154,19 @@ def test_cnn_patch_embed_roundtrip():
     rec = tok.decode(enc, is_image=False)
     assert rec.shape == (1, 3, 5, 32, 32)
     assert np.all(np.isfinite(np.asarray(rec)))
+
+
+def test_reference_parity_exports():
+    """Top-level exports mirror /root/reference/OmniTokenizer/__init__.py:1-8."""
+    import omnitokenizer_tpu as ot
+
+    assert ot.OmniTokenizer_VQGAN is ot.OmniTokenizerVQGAN
+    for name in ("VideoData", "ImageDataset", "DecordVideoDataset",
+                 "Net2NetTransformer", "VQGAN", "load_vqgan",
+                 "load_transformer"):
+        assert callable(getattr(ot, name)), name
+    # `download` resolves to the registry submodule (import precedence over
+    # the lazy table); its resolver is the reference's download() analogue
+    assert callable(ot.download.resolve_checkpoint)
+    with __import__("pytest").raises(AttributeError):
+        ot.not_a_real_export
