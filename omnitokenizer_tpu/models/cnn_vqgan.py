@@ -206,3 +206,134 @@ class CnnVQGAN(nn.Module):
         vq = self.codebook(z, training=training, axis_name=axis_name)
         x_recon = self.decoder(self.post_vq_conv(vq["embeddings"]))
         return x_recon, vq
+
+
+# --------------------------------------------------------------------------
+# torch -> flax conversion (the reference's TATS-style `VQGAN` checkpoints)
+# --------------------------------------------------------------------------
+
+def _conv3d(w):  # torch (O, I, kt, kh, kw) -> flax (kt, kh, kw, I, O)
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _convt3d(w):
+    """torch ConvTranspose3d (I, O, kt, kh, kw) -> the lhs-dilated-conv
+    kernel layout (kt, kh, kw, I, O) with spatially flipped taps (a
+    transposed conv is a dilated conv with the flipped kernel)."""
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1))
+
+
+def convert_cnn_vqgan_state(sd, norm_type: str = "group"):
+    """Map a reference `base.VQGAN` state_dict (base.py:38-94 module names:
+    encoder.conv_blocks.{i}.{down,res}, decoder.conv_blocks.{i}.{up,res1,res2},
+    final_block Sequential index 0 = Normalize, SamePadConv3d '.conv',
+    SamePadConvTranspose3d '.convt') onto the CnnVQGAN variable tree."""
+    params: dict = {}
+    stats: dict = {}
+    buffers: dict = {"codebook": {}}
+
+    def put(tree, path, leaf, val):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(np.ascontiguousarray(val))
+
+    def put_norm(path, leaf, v):
+        if leaf == "weight":
+            put(params, path, "scale", v)
+        elif leaf == "bias":
+            put(params, path, "bias", v)
+        elif leaf == "running_mean":
+            put(stats, path, "mean", v)
+        elif leaf == "running_var":
+            put(stats, path, "var", v)
+        # num_batches_tracked dropped
+
+    def res_leaf(flax_res, parts, v):
+        sub, rest = parts[0], parts[1:]
+        if sub in ("norm1", "norm2"):
+            put_norm(flax_res + [sub], rest[0], v)
+        else:  # conv1/conv2/conv_shortcut -> SamePadConv3d '.conv'
+            assert rest[0] == "conv"
+            val = _conv3d(v) if rest[1] == "weight" else v
+            put(params, flax_res + [sub, "conv"],
+                "kernel" if rest[1] == "weight" else "bias", val)
+
+    for k, v in sd.items():
+        v = np.asarray(v, np.float32)
+        parts = k.split(".")
+        root = parts[0]
+        if root == "codebook":
+            if parts[1] in ("embeddings", "N", "z_avg", "codebook_usage"):
+                buffers["codebook"][parts[1]] = jnp.asarray(v)
+        elif root in ("pre_vq_conv", "post_vq_conv"):
+            assert parts[1] == "conv"
+            val = _conv3d(v) if parts[2] == "weight" else v
+            put(params, [root, "conv"], "kernel" if parts[2] == "weight" else "bias", val)
+        elif root == "encoder":
+            if parts[1] == "conv_first":
+                val = _conv3d(v) if parts[3] == "weight" else v
+                put(params, ["encoder", "conv_first", "conv"],
+                    "kernel" if parts[3] == "weight" else "bias", val)
+            elif parts[1] == "final_block":
+                put_norm(["encoder", "final_norm"], parts[3], v)
+            elif parts[1] == "conv_blocks":
+                i, sub = parts[2], parts[3]
+                if sub == "down":
+                    val = _conv3d(v) if parts[5] == "weight" else v
+                    put(params, ["encoder", f"down{i}", "conv"],
+                        "kernel" if parts[5] == "weight" else "bias", val)
+                else:  # res
+                    res_leaf(["encoder", f"res{i}"], parts[4:], v)
+        elif root == "decoder":
+            if parts[1] == "final_block":
+                put_norm(["decoder", "final_norm"], parts[3], v)
+            elif parts[1] == "conv_last":
+                val = _conv3d(v) if parts[3] == "weight" else v
+                put(params, ["decoder", "conv_last", "conv"],
+                    "kernel" if parts[3] == "weight" else "bias", val)
+            elif parts[1] == "conv_blocks":
+                i, sub = parts[2], parts[3]
+                if sub == "up":  # SamePadConvTranspose3d '.convt'
+                    val = _convt3d(v) if parts[5] == "weight" else v
+                    put(params, ["decoder", f"up{i}"],
+                        "kernel" if parts[5] == "weight" else "bias", val)
+                elif sub == "res1":
+                    res_leaf(["decoder", f"res{i}a"], parts[4:], v)
+                elif sub == "res2":
+                    res_leaf(["decoder", f"res{i}b"], parts[4:], v)
+        # discriminators / perceptual model are separate trees (utils/inflate)
+
+    cb = buffers["codebook"]
+    n_codes = cb["embeddings"].shape[0]
+    cb.setdefault("codebook_usage", jnp.zeros((n_codes,), jnp.float32))
+    cb["initialized"] = jnp.ones((), jnp.int32)
+    cb["call_cnt"] = jnp.ones((), jnp.int32)
+    variables = {"params": params, "buffers": buffers}
+    if stats:
+        variables["batch_stats"] = stats
+    return variables
+
+
+def load_cnn_vqgan_checkpoint(path: str) -> Tuple["CnnVQGAN", dict]:
+    """Build a CnnVQGAN + converted variables from a reference Lightning
+    ckpt (hparams-embedded args: n_hiddens/downsample/embedding_dim/n_codes,
+    base.py:245-269)."""
+    from ..utils.checkpoint import load_torch_state_dict
+
+    sd, args = load_torch_state_dict(path)
+
+    def get(name, default):
+        return getattr(args, name, default) if args is not None else default
+
+    cfg = TokenizerConfig(
+        embedding_dim=get("embedding_dim", 256),
+        codebook_dim=get("embedding_dim", 256),
+        n_codes=get("n_codes", 2048),
+        norm_type=get("norm_type", "group"),
+        no_random_restart=get("no_random_restart", False),
+        restart_thres=get("restart_thres", 1.0),
+    )
+    model = CnnVQGAN(cfg, n_hiddens=get("n_hiddens", 240),
+                     downsample=tuple(get("downsample", (4, 4, 4))))
+    return model, convert_cnn_vqgan_state(sd, cfg.norm_type)
