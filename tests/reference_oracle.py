@@ -400,6 +400,40 @@ def lightning_ckpt_bytes(model) -> bytes:
     return buf.getvalue()
 
 
+def convert_ref_lpips_params(ref_lpips):
+    """Reference LPIPS module (stub-VGG backbone + its shipped lin weights)
+    -> our flax LPIPS params tree (same mapping as
+    tests/test_reference_parity_eval.py::test_lpips_forward_parity)."""
+    import jax
+    import numpy as np
+
+    from omnitokenizer_tpu.models.lpips import load_lpips_variables
+
+    sd = {k: v.detach().numpy() for k, v in ref_lpips.state_dict().items()}
+    variables, _ = load_lpips_variables()
+    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+
+    conv_keys = [k for k in sd if k.startswith("net.slice") and k.endswith(".weight")]
+
+    def slice_order(k):
+        _, sl, idx, _ = k.split(".")
+        return (int(sl.replace("slice", "")), int(idx))
+
+    conv_keys.sort(key=slice_order)
+    net = dict(params["net"])
+    flax_convs = sorted((k for k in net if k.startswith("conv")),
+                        key=lambda s: int(s[4:]))
+    assert len(conv_keys) == len(flax_convs)
+    for tk, fk in zip(conv_keys, flax_convs):
+        net[fk] = dict(net[fk])
+        net[fk]["kernel"] = np.transpose(sd[tk], (2, 3, 1, 0))
+        net[fk]["bias"] = sd[tk.replace(".weight", ".bias")]
+    params["net"] = net
+    for i in range(5):
+        params[f"lin{i}"] = sd[f"lin{i}.model.1.weight"].reshape(-1)
+    return params
+
+
 def make_net2net_args(vqvae_path: str, **overrides) -> argparse.Namespace:
     """Args namespace for the reference Net2NetTransformer
     (lm_transformer.py:462-493 parser + the driver-level flags it reads)."""
