@@ -286,3 +286,63 @@ DiT_models = {
     f"DiT-{a}/{p}": (lambda a=a, p=p: dit_config(f"DiT-{a}/{p}"))
     for a in _SIZES for p in (2, 4, 8)
 }
+
+
+# -- torch -> flax conversion (published facebookresearch/DiT checkpoints,
+#    and the reference's OmniTokenizer-finetuned variants) -------------------
+
+def convert_dit_state(sd) -> dict:
+    """Map a torch DiT state_dict (Diffusion/DiT/models.py module names:
+    x_embedder.proj conv, t_embedder.mlp Sequential, y_embedder table,
+    blocks.{i}.{attn,mlp,adaLN_modulation}, final_layer) onto the flax DiT
+    params tree.  pos_embed is dropped: it is the same fixed 2D sin-cos
+    table both sides recompute."""
+    import numpy as np
+
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    def t(w):  # torch Linear weight -> flax Dense kernel
+        return np.ascontiguousarray(w.T)
+
+    w = sd["x_embedder.proj.weight"]  # (D, C, p, p) conv == dense on (p,p,C)
+    D = w.shape[0]
+    params = {
+        "x_embed": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(w, (2, 3, 1, 0)).reshape(-1, D)),
+            "bias": sd["x_embedder.proj.bias"],
+        },
+        "t_embed": {
+            "fc1": {"kernel": t(sd["t_embedder.mlp.0.weight"]),
+                    "bias": sd["t_embedder.mlp.0.bias"]},
+            "fc2": {"kernel": t(sd["t_embedder.mlp.2.weight"]),
+                    "bias": sd["t_embedder.mlp.2.bias"]},
+        },
+        "final": {
+            "adaLN": {"kernel": t(sd["final_layer.adaLN_modulation.1.weight"]),
+                      "bias": sd["final_layer.adaLN_modulation.1.bias"]},
+            "linear": {"kernel": t(sd["final_layer.linear.weight"]),
+                       "bias": sd["final_layer.linear.bias"]},
+        },
+    }
+    if "y_embedder.embedding_table.weight" in sd:
+        params["y_embed"] = {
+            "table": {"embedding": sd["y_embedder.embedding_table.weight"]}}
+
+    i = 0
+    while f"blocks.{i}.attn.qkv.weight" in sd:
+        p = f"blocks.{i}."
+        params[f"block_{i}"] = {
+            "adaLN": {"kernel": t(sd[p + "adaLN_modulation.1.weight"]),
+                      "bias": sd[p + "adaLN_modulation.1.bias"]},
+            "qkv": {"kernel": t(sd[p + "attn.qkv.weight"]),
+                    "bias": sd[p + "attn.qkv.bias"]},
+            "proj": {"kernel": t(sd[p + "attn.proj.weight"]),
+                     "bias": sd[p + "attn.proj.bias"]},
+            "fc1": {"kernel": t(sd[p + "mlp.fc1.weight"]),
+                    "bias": sd[p + "mlp.fc1.bias"]},
+            "fc2": {"kernel": t(sd[p + "mlp.fc2.weight"]),
+                    "bias": sd[p + "mlp.fc2.bias"]},
+        }
+        i += 1
+    return params

@@ -120,7 +120,10 @@ class Latte(nn.Module):
             h = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, cfg.dtype, name=f"block_{i + 1}")(h, c_temp)
             h = h.reshape(B, N, F, -1).transpose(0, 2, 1, 3).reshape(B * F, N, -1)
 
-        h = FinalLayer(cfg.hidden_size, cfg.patch_size, cfg.out_channels, cfg.dtype, name="final")(h, c_spatial)
+        # reference quirk (latte.py:375-377): the final layer is conditioned
+        # on timestep(+class) only — extras=78 text conditioning is NOT added
+        c_final = c_spatial if cfg.extras == 2 else rep(t_emb, F)
+        h = FinalLayer(cfg.hidden_size, cfg.patch_size, cfg.out_channels, cfg.dtype, name="final")(h, c_final)
         h = self.unpatchify(h)  # (B*F, H, W, out_C)
         return h.reshape(B, F, H, W, cfg.out_channels)
 
@@ -163,3 +166,24 @@ Latte_models = {
     for name in (f"Latte-{a}/{p}",)
 }
 Latte_models["Latte-XL/2-omnitokenizer"] = lambda: latte_config("Latte-XL/2-omnitokenizer")
+
+
+# -- torch -> flax conversion (Latte checkpoints, incl. the reference's
+#    omnitokenizer-finetuned 8-channel variant) ------------------------------
+
+def convert_latte_state(sd) -> dict:
+    """Map a torch Latte state_dict (Diffusion/Latte/models/latte.py names)
+    onto the flax Latte params tree.  pos_embed/temp_embed are dropped —
+    both sides recompute the same fixed sin-cos tables."""
+    from .dit import convert_dit_state
+
+    # identical naming for everything DiT has...
+    params = convert_dit_state(sd)
+    # ...plus the text-conditioning projection (latte.py:243-247)
+    if "text_embedding_projection.1.weight" in sd:
+        w = np.asarray(sd["text_embedding_projection.1.weight"], np.float32)
+        params["text_proj"] = {
+            "kernel": np.ascontiguousarray(w.T),
+            "bias": np.asarray(sd["text_embedding_projection.1.bias"], np.float32),
+        }
+    return params

@@ -246,6 +246,75 @@ def _build_inception_stub() -> types.ModuleType:
     return mod
 
 
+def _build_vit_stub() -> types.ModuleType:
+    """Faithful stand-in for timm.models.vision_transformer's PatchEmbed /
+    Attention / Mlp — the three public timm blocks the vendored DiT and
+    Latte models build from (Diffusion/DiT/models.py:16,
+    Diffusion/Latte/models/latte.py:17)."""
+    mod = _mk_module("timm.models.vision_transformer")
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None, flatten=True, bias=True):
+            super().__init__()
+            self.img_size = (img_size, img_size)
+            self.patch_size = (patch_size, patch_size)
+            self.grid_size = (img_size // patch_size, img_size // patch_size)
+            self.num_patches = self.grid_size[0] * self.grid_size[1]
+            self.flatten = flatten
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                  stride=patch_size, bias=bias)
+            self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+        def forward(self, x):
+            x = self.proj(x)
+            if self.flatten:
+                x = x.flatten(2).transpose(1, 2)  # (B, N, D)
+            return self.norm(x)
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0,
+                     proj_drop=0.0, **kwargs):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.attn_drop = nn.Dropout(attn_drop)
+            self.proj = nn.Linear(dim, dim)
+            self.proj_drop = nn.Dropout(proj_drop)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = (self.qkv(x)
+                   .reshape(B, N, 3, self.num_heads, C // self.num_heads)
+                   .permute(2, 0, 3, 1, 4))
+            q, k, v = qkv.unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = self.attn_drop(attn.softmax(dim=-1))
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj_drop(self.proj(x))
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=nn.GELU, drop=0.0, bias=True):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features, bias=bias)
+            self.act = act_layer()
+            self.drop1 = nn.Dropout(drop)
+            self.fc2 = nn.Linear(hidden_features, out_features, bias=bias)
+            self.drop2 = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
+    mod.PatchEmbed = PatchEmbed
+    mod.Attention = Attention
+    mod.Mlp = Mlp
+    return mod
+
+
 def install_stubs() -> None:
     if "pytorch_lightning" not in sys.modules:
         pl = _mk_module("pytorch_lightning")
@@ -322,6 +391,7 @@ def install_stubs() -> None:
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
         tm_models.layers = layers
+        tm_models.vision_transformer = _build_vit_stub()
         timm.models = tm_models
         del cosine_cls
 
