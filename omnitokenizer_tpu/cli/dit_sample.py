@@ -67,14 +67,25 @@ def main(argv=None, video: bool = False):
         if video else jnp.zeros((1, cfg.input_size, cfg.input_size, cfg.in_channels))
     variables = model.init(jax.random.PRNGKey(0), ex, jnp.zeros((1,), jnp.int32),
                            jnp.zeros((1,), jnp.int32) if cfg.num_classes else None)
-    # restore only params/ema from the raw msgpack (the optimizer state's
-    # structure depends on training flags and isn't needed for sampling)
     from flax import serialization
 
-    with open(args.ckpt, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    field = "ema_params" if args.use_ema else "params"  # DiffusionTrainState fields
-    params = serialization.from_state_dict(variables["params"], raw[field])
+    if args.ckpt.endswith((".pt", ".pth", ".ckpt")):
+        # published torch DiT/Latte checkpoint (raw state_dict or train.py
+        # {'ema','model'} dict — Diffusion/DiT/download.py:18-29)
+        from ..models.dit import load_torch_diffusion_state_dict
+        from ..models.dit import convert_dit_state
+        from ..models.latte import convert_latte_state
+
+        sd = load_torch_diffusion_state_dict(args.ckpt, use_ema=args.use_ema)
+        convert = convert_latte_state if video else convert_dit_state
+        params = serialization.from_state_dict(variables["params"], convert(sd))
+    else:
+        # restore only params/ema from the raw msgpack (the optimizer state's
+        # structure depends on training flags and isn't needed for sampling)
+        with open(args.ckpt, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        field = "ema_params" if args.use_ema else "params"  # DiffusionTrainState fields
+        params = serialization.from_state_dict(variables["params"], raw[field])
 
     fwd_cfg = latte_mod.forward_with_cfg if video else dit_mod.forward_with_cfg
     null_class = cfg.num_classes  # LabelEmbedder null id

@@ -43,6 +43,9 @@ def build_parser(video: bool = False):
     p.add_argument("--noise_schedule", type=str, default="linear")
     p.add_argument("--schedule_sampler", type=str, default="uniform",
                    choices=["uniform", "loss-second-moment"])
+    p.add_argument("--init_from", type=str, default=None,
+                   help="seed params from a torch DiT/Latte .pt/.ckpt "
+                        "(converted) or a native state_*.msgpack")
     p.add_argument("--synthetic_data", action="store_true",
                    help="train directly on random latents (no VAE/data needed)")
     p.add_argument("--wandb_project", type=str, default=None)
@@ -97,6 +100,23 @@ def main(argv=None, video: bool = False):
     if args.grad_clip_val:
         tx_parts.append(optax.clip_by_global_norm(args.grad_clip_val))
     tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
+    if args.init_from:
+        from flax import serialization
+
+        if args.init_from.endswith((".pt", ".pth", ".ckpt")):
+            from ..models.dit import (convert_dit_state,
+                                      load_torch_diffusion_state_dict)
+            from ..models.latte import convert_latte_state
+
+            sd = load_torch_diffusion_state_dict(args.init_from, use_ema=True)
+            convert = convert_latte_state if video else convert_dit_state
+            params = serialization.from_state_dict(params, convert(sd))
+        else:
+            with open(args.init_from, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            params = serialization.from_state_dict(params, raw["params"])
+        print(f"[dit_train] initialized params from {args.init_from}")
+
     tx = optax.chain(*tx_parts)
     state = DiffusionTrainState(params, params, tx.init(params), jnp.int32(0))
 

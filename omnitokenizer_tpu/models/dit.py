@@ -346,3 +346,20 @@ def convert_dit_state(sd) -> dict:
         }
         i += 1
     return params
+
+
+def load_torch_diffusion_state_dict(path: str, use_ema: bool = True) -> dict:
+    """Read a torch DiT/Latte checkpoint the way the reference's find_model
+    does (Diffusion/DiT/download.py:18-29): a raw state_dict, or a train.py
+    dict with 'ema'/'model' entries (EMA preferred)."""
+    import numpy as np
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and ("ema" in ckpt or "model" in ckpt):
+        key = "ema" if (use_ema and "ema" in ckpt) else "model"
+        ckpt = ckpt[key]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in ckpt.items()}

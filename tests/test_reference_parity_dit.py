@@ -113,3 +113,29 @@ def test_dit_unconditional_8ch():
                        xj, jnp.asarray(t.numpy()), jnp.asarray(y.numpy()))
     np.testing.assert_allclose(np.transpose(np.asarray(out_j), (0, 3, 1, 2)),
                                out_t, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_torch_ckpt_load_path(tmp_path):
+    """find_model-style torch checkpoints ({'ema','model'} dicts and raw
+    state_dicts) load through load_torch_diffusion_state_dict + converter
+    into a tree flax can restore (the dit_sample --ckpt .pt path)."""
+    ref, ours, params = _build_pair()
+    sd = ref.state_dict()
+    path = str(tmp_path / "dit.pt")
+    torch.save({"ema": sd, "model": sd, "opt": {}, "args": None}, path)
+
+    from flax import serialization
+
+    from omnitokenizer_tpu.models.dit import (convert_dit_state,
+                                              load_torch_diffusion_state_dict)
+
+    loaded = load_torch_diffusion_state_dict(path, use_ema=True)
+    restored = serialization.from_state_dict(params, convert_dit_state(loaded))
+    a = jax.tree_util.tree_leaves(restored)
+    b = jax.tree_util.tree_leaves(params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    torch.save(sd, path)  # raw state_dict form
+    loaded2 = load_torch_diffusion_state_dict(path)
+    assert set(loaded2) == set(loaded)
