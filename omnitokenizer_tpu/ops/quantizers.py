@@ -96,7 +96,9 @@ class LFQ:
         self.diversity_gamma = diversity_gamma
         self.commitment_weight = commitment_weight
         self.inv_temperature = inv_temperature
-        self._mask = jnp.asarray(2 ** np.arange(dim, dtype=np.int64))
+        # MSB-first bit packing, matching the vendored LFQ's index contract
+        # (lookup_free_quantization.py:116: mask = 2**arange(d-1, -1, -1))
+        self._mask = jnp.asarray(2 ** np.arange(dim - 1, -1, -1, dtype=np.int64))
 
     @property
     def codebook_size(self) -> int:
@@ -119,8 +121,14 @@ class LFQ:
         entropy_aux = jnp.zeros((), jnp.float32)
         if training:
             # per-bit bernoulli entropies (factorized form keeps it O(dim)
-            # instead of O(2^dim) — exact for LFQ's independent-bit codebook)
-            p = jax.nn.sigmoid(2 * self.inv_temperature * flat)
+            # instead of O(2^dim)).  The reference's full-codebook softmax
+            # (lookup_free_quantization.py:221-223: softmax(2*beta*z.c) over
+            # c in {-1,+1}^d) factorizes per bit with posterior
+            # sigmoid(4*beta*z_i) — the per-sample entropy is EXACT; the
+            # batch (diversity) term replaces the joint entropy of the
+            # batch-averaged distribution with the sum of marginal-bit
+            # entropies (an upper bound; the joint is O(2^d) to compute).
+            p = jax.nn.sigmoid(4 * self.inv_temperature * flat)
             eps = 1e-8
             per_sample = -(p * jnp.log(p + eps) + (1 - p) * jnp.log(1 - p + eps))
             per_sample_entropy = jnp.mean(jnp.sum(per_sample, axis=-1))
