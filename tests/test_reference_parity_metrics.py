@@ -11,6 +11,7 @@ import numpy as np
 import torch
 
 sys.path.insert(0, "/root/reference/evaluation/common_metrics_on_video_quality")
+sys.path.insert(0, "tests")
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -67,3 +68,23 @@ def test_ssim_calculator_end_to_end():
     flat2 = np.moveaxis(v2.reshape(-1, *v2.shape[2:]), 1, -1)
     got = float(np.mean(np.asarray(ssim(jnp.asarray(flat1), jnp.asarray(flat2)))))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fvd_preprocess_parity():
+    """fvd/fvd.py:18-30 preprocess (bilinear 224 resize, [-1,1] scale) vs
+    eval/i3d.preprocess_videos — resize semantics shift rFVD if they drift
+    (torch align_corners=False == jax half-pixel bilinear)."""
+    from reference_oracle import install_stubs
+
+    install_stubs()
+    rfvd = importlib.import_module("OmniTokenizer.fvd.fvd")
+
+    rng = np.random.RandomState(7)
+    vids = (rng.rand(2, 3, 40, 56, 3) * 255).astype(np.uint8)
+    want = rfvd.preprocess(vids, (224, 224)).numpy()  # (b, c, t, h, w)
+
+    from omnitokenizer_tpu.eval.i3d import preprocess_videos
+
+    got = np.asarray(preprocess_videos(vids))  # (b, t, h, w, c)
+    got_cf = np.transpose(got, (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got_cf, want, atol=2e-5, rtol=1e-4)
