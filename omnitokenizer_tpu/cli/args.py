@@ -94,6 +94,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--kl_weight", type=float, default=1e-6)
     p.add_argument("--l2_code", action="store_true")
     p.add_argument("--use_external_codebook", action="store_true")
+    p.add_argument("--codebook_type", type=str, default="vq", choices=["vq"],
+                   help="external-codebook family; the reference implements "
+                        "only 'vq' (omnitokenizer.py:131-140)")
     p.add_argument("--no_random_restart", action="store_true")
     p.add_argument("--restart_thres", type=float, default=1.0)
     p.add_argument("--commitment_weight", type=float, default=0.25)
@@ -184,6 +187,28 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--sample_every_n_frames", type=int, default=1)
     p.add_argument("--downsample", nargs="+", type=int, default=[4, 8, 8])
     p.add_argument("--smap_cond", type=int, default=0)
+    # special dataset families (reference data.py:430-489 'sep' routing)
+    p.add_argument("--vtokens", action="store_true",
+                   help="data_path is a pre-tokenized HDF5 (HDF5Dataset_vtokens)")
+    p.add_argument("--vtokens_pos", action="store_true",
+                   help="use 3D positional crop boxes with --vtokens")
+    p.add_argument("--spatial_length", type=int, default=15,
+                   help="spatial crop for --vtokens grids")
+    p.add_argument("--image_folder", action="store_true",
+                   help="data_path holds per-frame image folders (FrameDataset)")
+    p.add_argument("--stft_data", action="store_true",
+                   help="data_path holds paired stft+video npz (StftDataset)")
+    p.add_argument("--smap_only", action="store_true",
+                   help="train on segmentation maps instead of frames")
+    p.add_argument("--text_cond", action="store_true",
+                   help="HDF5 with caption strings (HDF5Dataset_text)")
+    p.add_argument("--text_seq_len", type=int, default=77)
+    p.add_argument("--data_path2", type=str, default=None,
+                   help="second HDF5 for --smap_cond pairing")
+    p.add_argument("--asset_root", type=str, default=None,
+                   help="coinrun sprite assets dir (default <data_path>/assets)")
+    p.add_argument("--padding_type", type=str, default="replicate",
+                   help="SamePad conv padding (legacy CNN VQGAN, base.py:251)")
     return p
 
 

@@ -33,9 +33,17 @@ def build_parser():
     p.add_argument("--transformer_dropout", type=float, default=0.0)
     p.add_argument("--class_cond_dim", type=int, default=1000)
     p.add_argument("--pkeep", type=float, default=1.0)
-    p.add_argument("--vtokens", action="store_true")
-    p.add_argument("--vtokens_pos", action="store_true")
+    # --vtokens/--vtokens_pos come from add_data_args (shared with the data
+    # routing); the LM consumes them in build_model/encode_to_z
     p.add_argument("--first_stage_key", type=str, default="video")
+    p.add_argument("--stft_vqvae", type=str, default=None,
+                   help="second tokenizer ckpt for 'stft' conditioning "
+                        "(lm_transformer.py:115-122)")
+    p.add_argument("--vocab_size", type=int, default=None,
+                   help="override the GPT vocab (reference lm parser compat; "
+                        "default derives from the tokenizer + conditioning)")
+    p.add_argument("--first_stage_vocab_size", type=int, default=None,
+                   help="override the first-stage code vocab (vtokens mode)")
     p.add_argument("--cond_stage_key", type=str, default="label")
     p.add_argument("--sample_every_n_latent_frames", type=int, default=0)
     p.add_argument("--base_lr", type=float, default=4.5e-6)
@@ -70,9 +78,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     tok = OmniTokenizerVQGAN.load_from_checkpoint(args.vqvae)
 
-    vocab = tok.cfg.n_codes + (0 if args.unconditional else args.class_cond_dim)
+    first_stage_vocab = args.first_stage_vocab_size or tok.cfg.n_codes
+    vocab = first_stage_vocab + (0 if args.unconditional else args.class_cond_dim)
     if args.starts_with_sos and not args.unconditional:
         vocab += 1
+    if args.vocab_size:
+        assert args.vocab_size >= vocab, \
+            f"--vocab_size {args.vocab_size} < required {vocab}"
+        vocab = args.vocab_size
     gpt_cfg = GPTConfig(
         vocab_size=vocab, block_size=args.block_size, n_layer=args.n_layer,
         n_head=args.n_head, n_embd=args.n_embd,
@@ -83,10 +96,15 @@ def main(argv=None):
         gpt=gpt_cfg, class_cond_dim=args.class_cond_dim,
         unconditional=args.unconditional, starts_with_sos=args.starts_with_sos,
         class_first=args.class_first, p_drop_cond=args.p_drop_cond,
-        pkeep=args.pkeep, first_stage_vocab_size=tok.cfg.n_codes,
+        pkeep=args.pkeep, first_stage_vocab_size=first_stage_vocab,
         cond_stage_key=args.cond_stage_key,
         sample_every_n_latent_frames=args.sample_every_n_latent_frames)
-    n2n = Net2NetTransformer(n2n_cfg, tok, seed=args.seed)
+    cond_stage_model = None
+    if args.cond_stage_key == "stft":
+        assert args.stft_vqvae, "--cond_stage_key stft needs --stft_vqvae"
+        cond_stage_model = OmniTokenizerVQGAN.load_from_checkpoint(args.stft_vqvae)
+    n2n = Net2NetTransformer(n2n_cfg, tok, seed=args.seed,
+                             cond_stage_model=cond_stage_model)
 
     # AdamW with decay/no-decay split: biases, LayerNorm/Embedding weights and
     # pos_emb get no weight decay (lm_transformer.py:362-398)

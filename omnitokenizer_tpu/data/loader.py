@@ -202,11 +202,66 @@ class JointLoader:
             step += 1
 
 
+def _special_dataset(args, train: bool):
+    """Reference 'sep' routing (data.py:430-489): coinrun dirs, pre-tokenized
+    vtokens, frame folders, stft, smap/text HDF5 pairs, and plain .h5 files.
+    Returns None when the generic image/video list routing applies."""
+    import os.path as osp
+
+    get = lambda n, d=None: getattr(args, n, d)  # noqa: E731
+    path0 = args.data_path if isinstance(args.data_path, str) else args.data_path[0]
+
+    if osp.isdir(path0) and "coinrun" in path0.lower():
+        from .coinrun import CoinRunDataset
+
+        asset_root = get("asset_root") or osp.join(path0, "assets")
+        return CoinRunDataset(path0, asset_root,
+                              sequence_length=args.sequence_length,
+                              resolution=args.resolution, train=train)
+    if get("vtokens"):
+        from .hdf5 import HDF5DatasetVtokens
+
+        return HDF5DatasetVtokens(path0, args.sequence_length, train=train,
+                                  resolution=args.resolution,
+                                  spatial_length=get("spatial_length",
+                                                     args.resolution))
+    if get("image_folder"):
+        from .hdf5 import FrameDataset
+
+        return FrameDataset(path0, args.sequence_length,
+                            resolution=args.resolution,
+                            sample_every_n_frames=get("sample_every_n_frames", 1))
+    if get("stft_data"):
+        from .hdf5 import StftDataset
+
+        return StftDataset(path0, sequence_length=args.sequence_length,
+                           resolution=args.resolution)
+    if get("smap_cond"):
+        from .hdf5 import HDF5DatasetSmap
+
+        return HDF5DatasetSmap(path0, get("data_path2"), args.sequence_length,
+                               train=train, resolution=args.resolution)
+    if get("text_cond"):
+        from .hdf5 import HDF5DatasetText
+
+        return HDF5DatasetText(path0, args.sequence_length, train=train,
+                               resolution=args.resolution,
+                               text_len=get("text_seq_len", 77))
+    if path0.endswith((".h5", ".hdf5")):
+        from .hdf5 import HDF5Dataset
+
+        return HDF5Dataset(path0, args.sequence_length, train=train,
+                           resolution=args.resolution,
+                           sample_every_n_frames=get("sample_every_n_frames", 1))
+    return None
+
+
 def VideoData(args, train: bool = True, process_index: int = 0, process_count: int = 1):
     """Build loaders from an argparse-style namespace mirroring
     VideoData.add_data_specific_args (data.py:551-577): loader_type
     'sep'/'joint', data_path / train_datalist / val_datalist lists,
-    per-dataset batch_size."""
+    per-dataset batch_size; special dataset families route as in the
+    reference's 'sep' branch (data.py:430-489)."""
     from .image import ImageDataset
     from .video import VideoDataset
 
@@ -218,6 +273,14 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
     batch_sizes = listify(args.batch_size)
     if len(batch_sizes) == 1:
         batch_sizes = batch_sizes * len(paths)
+
+    special = _special_dataset(args, train)
+    if special is not None:
+        return DataLoader(special, batch_sizes[0], shuffle=train,
+                          num_workers=getattr(args, "num_workers", 2),
+                          worker_mode=getattr(args, "data_worker_mode", "thread"),
+                          process_index=process_index,
+                          process_count=process_count)
 
     def _is_image_list(dlist: str) -> bool:
         # the first entry's extension is authoritative — a list NAME

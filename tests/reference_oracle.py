@@ -39,6 +39,9 @@ REFERENCE_ROOT = "/root/reference"
 
 def _mk_module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec probes (e.g. transformers
+    # checking for timm) see a valid module instead of raising
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     return mod
 
@@ -413,6 +416,59 @@ def install_stubs() -> None:
             "OmniTokenizer", loader=None, is_package=True)
         pkg.__spec__.submodule_search_locations = pkg.__path__
         sys.modules["OmniTokenizer"] = pkg
+
+
+def install_data_stubs() -> None:
+    """Extra stubs so the reference DATA layer imports (data.py pulls in
+    decord, torchvision transforms/io/VideoClips, ftfy, imagenet_stubs, and
+    timm.data) — enough to build parsers and exercise non-decode logic."""
+    install_stubs()
+    if "decord" in sys.modules:
+        return
+    dec = _mk_module("decord")
+    dec.VideoReader = object
+    dec.cpu = lambda *a: None
+    dec.bridge = types.SimpleNamespace(set_bridge=lambda *a, **k: None)
+
+    import torchvision
+
+    tfm = _mk_module("torchvision.transforms")
+    tfm.__path__ = []
+    for cls in ("Compose", "Resize", "CenterCrop", "RandomCrop", "ToTensor",
+                "Normalize", "RandomHorizontalFlip", "Lambda"):
+        setattr(tfm, cls, type(cls, (), {"__init__": lambda self, *a, **k: None}))
+    tfm.InterpolationMode = types.SimpleNamespace(BICUBIC=3, BILINEAR=2)
+    torchvision.transforms = tfm
+    tff = _mk_module("torchvision.transforms.functional")
+    for fn in ("pad", "resize", "center_crop", "normalize", "hflip", "crop"):
+        setattr(tff, fn, lambda *a, **k: None)
+    tff.InterpolationMode = tfm.InterpolationMode
+    tfm.functional = tff
+    dsm = _mk_module("torchvision.datasets")
+    vu = _mk_module("torchvision.datasets.video_utils")
+    vu.VideoClips = type("VideoClips", (), {})
+    dsm.video_utils = vu
+    torchvision.datasets = dsm
+    tio = _mk_module("torchvision.io")
+    tio.read_video = lambda *a, **k: None
+    torchvision.io = tio
+
+    ftfy = _mk_module("ftfy")
+    ftfy.fix_text = lambda s, **k: s
+    ist = _mk_module("imagenet_stubs")
+    ist.__path__ = []
+    lab = _mk_module("imagenet_stubs.imagenet_2012_labels")
+    lab.label_to_name = lambda i: str(i)
+    ist.imagenet_2012_labels = lab
+
+    timm = sys.modules["timm"]
+    timm.__path__ = []
+    tdata = _mk_module("timm.data")
+    tdata.__path__ = []
+    ttr = _mk_module("timm.data.transforms")
+    ttr._pil_interp = lambda name: 3
+    tdata.transforms = ttr
+    timm.data = tdata
 
 
 @functools.lru_cache(maxsize=None)

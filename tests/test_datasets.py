@@ -192,3 +192,53 @@ def test_image_list_routing_by_extension(tmp_path):
     batch = next(iter(loader))
     assert batch["video"].ndim == 5, "video dataset misrouted to ImageDataset"
     assert batch["video"].shape[1] == 5
+
+
+def test_videodata_routes_special_datasets(tmp_path):
+    """VideoData must route the reference's 'sep' families
+    (data.py:430-489): --vtokens -> HDF5Dataset_vtokens, --image_folder ->
+    FrameDataset, plain .h5 -> HDF5Dataset."""
+    import argparse
+
+    import h5py
+    from PIL import Image
+
+    from omnitokenizer_tpu.data.loader import VideoData
+
+    def ns(**kw):
+        base = dict(data_path=[str(tmp_path)], train_datalist=["x"],
+                    val_datalist=["x"], batch_size=[2], sequence_length=4,
+                    resolution=16, num_workers=0, loader_type="sep")
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    # vtokens HDF5
+    vt = str(tmp_path / "tok.h5")
+    with h5py.File(vt, "w") as f:
+        f["train_data"] = np.random.randint(0, 64, (40, 16, 16)).astype(np.int64)
+        f["train_idx"] = np.array([0, 20, 40])
+    it = iter(VideoData(ns(data_path=[vt], vtokens=True, spatial_length=16)))
+    batch = next(it)
+    assert batch["video"].dtype == np.int32 and batch["video"].shape[1:] == (4, 16, 16)
+    it.close()  # generator close stops+joins prefetch workers
+
+    # frame folders
+    fdir = tmp_path / "frames" / "clip0"
+    fdir.mkdir(parents=True)
+    for i in range(6):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(fdir / f"{i:03d}.png")
+    it = iter(VideoData(ns(data_path=[str(tmp_path / "frames")],
+                           image_folder=True, batch_size=[1])))
+    batch = next(it)
+    assert batch["video"].shape == (1, 4, 16, 16, 3)
+    it.close()
+
+    # plain video HDF5
+    vh = str(tmp_path / "vids.h5")
+    with h5py.File(vh, "w") as f:
+        f["train_data"] = np.random.randint(0, 255, (30, 16, 16, 3)).astype(np.uint8)
+        f["train_idx"] = np.array([0, 15, 30])
+    it = iter(VideoData(ns(data_path=[vh])))
+    batch = next(it)
+    assert batch["video"].shape == (2, 4, 16, 16, 3)
+    it.close()
