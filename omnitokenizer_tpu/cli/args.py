@@ -103,6 +103,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--norm_type", type=str, default="group", choices=["batch", "group"])
     p.add_argument("--fp32_quant", action="store_true")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute path")
+    p.add_argument("--fp16", action="store_true",
+                   help="accepted for recipe compat; maps to the bf16 path "
+                        "(TPUs have no fp16 MXU mode — bf16 is the native half)")
     return p
 
 
@@ -153,6 +156,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--default_root_dir", type=str, default="./runs/omnitokenizer")
     p.add_argument("--pretrained", type=str, default=None)
     p.add_argument("--init_vgen", type=str, default=None)
+    p.add_argument("--inflation_pe", action="store_true",
+                   help="accepted for recipe compat (vqgan_train.py:54 passes "
+                        "it to inflate_gen, whose body never reads it)")
     p.add_argument("--init_vdis", type=str, default=None)
     p.add_argument("--no_init_idis", action="store_true")
     p.add_argument("--freeze_trans", action="store_true")
@@ -210,6 +216,14 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--padding_type", type=str, default="replicate",
                    help="SamePad conv padding (legacy CNN VQGAN, base.py:251)")
     return p
+
+
+def normalize_precision(args):
+    """--fp16 recipe compat: TPU's native half is bf16 (no fp16 MXU mode)."""
+    if getattr(args, "fp16", False) and not getattr(args, "bf16", False):
+        print("[args] --fp16 requested: using the bf16 compute path")
+        args.bf16 = True
+    return args
 
 
 def tokenizer_config_from(args) -> TokenizerConfig:

@@ -21,9 +21,21 @@ def build_parser():
     A.add_model_args(p)
     A.add_data_args(p)
     p.add_argument("--gpt_ckpt", type=str, required=True)
-    p.add_argument("--vqvae", type=str, required=True)
+    p.add_argument("--vqvae", "--vqgan_ckpt", type=str, required=True,
+                   help="tokenizer ckpt (reference name: --vqgan_ckpt)")
     p.add_argument("--inference_type", type=str, default="class",
                    choices=["class", "frame_prediction"])
+    # reference-name compatibility (transformer_eval.py:141-167)
+    p.add_argument("--class_cond", action="store_true",
+                   help="force class-conditional generation (reference's "
+                        "switch; equals --inference_type class)")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="frame-prediction input root (alias of --data_path)")
+    p.add_argument("--data_list", type=str, default=None,
+                   help="frame-prediction clip list (alias of --val_datalist)")
+    p.add_argument("--distributed", action="store_true",
+                   help="accepted for recipe compat; process layout is "
+                        "automatic under jax.distributed")
     p.add_argument("--save", type=str, default="./gen_out")
     p.add_argument("--n_sample", type=int, default=16)
     p.add_argument("--class_cond_dim", type=int, default=1000)
@@ -67,6 +79,12 @@ def main(argv=None):
     from ..models.wrapper import OmniTokenizerVQGAN
 
     args = build_parser().parse_args(argv)
+    if args.class_cond:
+        args.inference_type = "class"
+    if args.data_dir:
+        args.data_path = [args.data_dir]
+    if args.data_list:
+        args.val_datalist = [args.data_list]
     tok = OmniTokenizerVQGAN.load_from_checkpoint(args.vqvae)
 
     vocab = tok.cfg.n_codes + (0 if args.unconditional else args.class_cond_dim)

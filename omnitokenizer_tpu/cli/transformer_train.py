@@ -75,7 +75,7 @@ def main(argv=None):
     from ..training.loop import MetricsLogger, find_latest_checkpoint
     from flax import serialization
 
-    args = build_parser().parse_args(argv)
+    args = A.normalize_precision(build_parser().parse_args(argv))
     tok = OmniTokenizerVQGAN.load_from_checkpoint(args.vqvae)
 
     first_stage_vocab = args.first_stage_vocab_size or tok.cfg.n_codes

@@ -29,6 +29,9 @@ def build_parser():
     p.add_argument("--vqgan_ckpt", type=str, required=True)
     p.add_argument("--inference_type", type=str, default="image", choices=["image", "video"])
     p.add_argument("--save", type=str, default="./eval_out")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="dataset tag: outputs nest under <save>/<dataset> "
+                        "(vqgan_eval.py:88)")
     p.add_argument("--save_videos", action="store_true")
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--train", action="store_true",
@@ -62,6 +65,8 @@ def main(argv=None):
     loader = VideoData(args, train=args.train)
     is_image = args.inference_type == "image"
 
+    if args.dataset:
+        args.save = os.path.join(args.save, args.dataset)
     os.makedirs(args.save, exist_ok=True)
     in_dir = os.path.join(args.save, "inputs")
     out_dir = os.path.join(args.save, "recons")

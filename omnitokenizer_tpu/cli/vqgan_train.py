@@ -27,7 +27,7 @@ def main(argv=None):
     A.apply_platform_env()
     import jax
 
-    args = build_parser().parse_args(argv)
+    args = A.normalize_precision(build_parser().parse_args(argv))
 
     from ..data.loader import VideoData
     from ..parallel.mesh import data_mesh

@@ -55,3 +55,19 @@ def test_transformer_train_covers_reference_flags(ref_parsers):
 
     missing = ref_parsers[1] - _flags(transformer_train.build_parser()) - ALLOW
     assert not missing, f"transformer_train missing reference flags: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("script", ["vqgan_train", "vqgan_eval",
+                                    "transformer_train", "transformer_eval"])
+def test_cli_scripts_cover_reference_script_flags(script):
+    """Flags added directly in the reference's top-level CLI scripts
+    (text-scraped — the scripts execute at import) must also parse here."""
+    import importlib
+    import re
+
+    text = open(f"/root/reference/{script}.py").read()
+    ref = set(re.findall(r"add_argument\(['\"](--[a-z_0-9]+)['\"]", text))
+    mod = importlib.import_module(f"omnitokenizer_tpu.cli.{script}")
+    ours = _flags(mod.build_parser())
+    missing = ref - ours - ALLOW
+    assert not missing, f"{script} missing reference flags: {sorted(missing)}"
