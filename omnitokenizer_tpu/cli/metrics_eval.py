@@ -60,8 +60,13 @@ def _clips(d: str, limit):
 def main(argv=None):
     A.apply_platform_env()
     ap = argparse.ArgumentParser("metrics_eval")
-    ap.add_argument("--gen_dir", required=True)
-    ap.add_argument("--gt_dir", required=True)
+    ap.add_argument("--gen_dir", default=None)
+    ap.add_argument("--gt_dir", default=None)
+    ap.add_argument("--ref_npz", default=None,
+                    help="OpenAI-evaluator-style reference image batch "
+                        "(uint8 (N,H,W,3) under arr_0; evaluator.py:69-80)")
+    ap.add_argument("--sample_npz", default=None,
+                    help="sample image batch npz (pairs with --ref_npz)")
     ap.add_argument("--i3d_path", default=None,
                     help="torch i3d_pretrained_400.pt for FVD")
     ap.add_argument("--inception_path", default=None,
@@ -91,13 +96,34 @@ def main(argv=None):
 
     want = {m.strip() for m in args.metrics.split(",") if m.strip()}
 
-    gen_paths = _clips(args.gen_dir, args.max_clips)
-    gt_paths = _clips(args.gt_dir, args.max_clips)
-    assert gen_paths and gt_paths, "empty input dirs"
-    n = min(len(gen_paths), len(gt_paths))
+    if args.ref_npz or args.sample_npz:
+        # evaluator.py batch mode: unpaired image batches -> inception
+        # metrics only (FID/sFID/IS/precision/recall)
+        assert args.ref_npz and args.sample_npz, \
+            "--ref_npz and --sample_npz must be given together"
+        assert not (want & {"psnr", "ssim", "lpips", "fvd"}), \
+            "npz batch mode computes unpaired metrics only (is,fid,sfid,prec_recall)"
 
-    psnrs, ssims = [], []
-    gen_u8, gt_u8 = [], []
+        def load_npz(path):
+            z = np.load(path)
+            arr = z[z.files[0]]
+            assert arr.dtype == np.uint8 and arr.ndim == 4, arr.shape
+            return arr[: args.max_clips] if args.max_clips else arr
+
+        gt_u8 = [load_npz(args.ref_npz)]
+        gen_u8 = [load_npz(args.sample_npz)]
+        n = len(gen_u8[0])
+        psnrs, ssims = [], []
+        gen_paths = gt_paths = []
+    else:
+        assert args.gen_dir and args.gt_dir, "--gen_dir/--gt_dir required"
+        gen_paths = _clips(args.gen_dir, args.max_clips)
+        gt_paths = _clips(args.gt_dir, args.max_clips)
+        assert gen_paths and gt_paths, "empty input dirs"
+        n = min(len(gen_paths), len(gt_paths))
+
+        psnrs, ssims = [], []
+        gen_u8, gt_u8 = [], []
     for gp, tp in zip(gen_paths[:n], gt_paths[:n]):
         g, t = _load_clip(gp, args.value_range), _load_clip(tp, args.value_range)
         tmin = min(g.shape[0], t.shape[0])

@@ -156,3 +156,60 @@ def test_spatial_features_sfid_shape():
     sp = compute_spatial_features(imgs, variables, batch=2)
     assert sp.shape == (2, 7 * 17 * 17)
     assert np.all(np.isfinite(sp))
+
+
+def test_metrics_eval_npz_batch_mode(tmp_path):
+    """OpenAI-evaluator usage: two npz image batches -> IS/FID/prec/recall
+    (evaluator.py:69-112); random inception weights exercise the plumbing."""
+    import json
+
+    import torch
+
+    rng = np.random.RandomState(0)
+    ref = (rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    sample = (rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    np.savez(tmp_path / "ref.npz", ref)
+    np.savez(tmp_path / "sample.npz", sample)
+
+    # tiny random inception weight file via our own converter contract
+    from omnitokenizer_tpu.eval.inception import FIDInceptionV3
+    import jax
+
+    variables = FIDInceptionV3().init(jax.random.PRNGKey(0),
+                                      np.zeros((1, 299, 299, 3), np.float32))
+    # build a torch-style state_dict from the flax tree so the converter runs
+    sd = {}
+
+    def walk(tree, stats, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if k == "conv":
+                sd[name + ".weight"] = torch.from_numpy(
+                    np.transpose(np.asarray(v["kernel"]), (3, 2, 0, 1)).copy())
+            elif k == "bn":
+                sd[name + ".weight"] = torch.from_numpy(np.asarray(v["scale"]).copy())
+                sd[name + ".bias"] = torch.from_numpy(np.asarray(v["bias"]).copy())
+                sd[name + ".running_mean"] = torch.from_numpy(
+                    np.asarray(stats[k]["mean"]).copy())
+                sd[name + ".running_var"] = torch.from_numpy(
+                    np.asarray(stats[k]["var"]).copy())
+            elif k == "fc":
+                sd["fc.weight"] = torch.from_numpy(
+                    np.ascontiguousarray(np.asarray(v["kernel"]).T))
+                sd["fc.bias"] = torch.from_numpy(np.asarray(v["bias"]).copy())
+            else:
+                walk(v, stats[k], name)
+
+    walk(variables["params"], variables["batch_stats"], "")
+    torch.save(sd, tmp_path / "inception.pt")
+
+    from omnitokenizer_tpu.cli.metrics_eval import main
+
+    result = main(["--ref_npz", str(tmp_path / "ref.npz"),
+                   "--sample_npz", str(tmp_path / "sample.npz"),
+                   "--inception_path", str(tmp_path / "inception.pt"),
+                   "--metrics", "is,fid,sfid,prec_recall",
+                   "--save", str(tmp_path / "out.json")])
+    for key in ("is", "fid", "sfid", "precision", "recall"):
+        assert result[key] is not None and np.isfinite(result[key]), key
+    assert json.load(open(tmp_path / "out.json"))["clips"] == 8
