@@ -144,12 +144,12 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--grad_clip_val", type=float, default=1.0)
     p.add_argument("--grad_clip_val_disc", type=float, default=1.0)
     p.add_argument("--disloss_check_thres", type=float, default=None)
-    p.add_argument("--ema_advances_per_step", type=int, default=1,
+    p.add_argument("--ema_advances_per_step", type=int, default=2,
                    choices=[1, 2],
-                   help="codebook-EMA advances per G+D step: 1 = fused "
-                        "one-forward step (default, cheaper); 2 = exact "
-                        "reference cadence (omnitokenizer.py:548,582; "
-                        "see ABLATION.md)")
+                   help="codebook-EMA advances per G+D step: 2 = exact "
+                        "reference cadence (default; omnitokenizer.py:548,"
+                        "582; see ABLATION.md); 1 = fused one-forward step, "
+                        "~25%% cheaper")
     p.add_argument("--perloss_check_thres", type=float, default=None)
     p.add_argument("--recloss_check_thres", type=float, default=None)
     p.add_argument("--resolution_scale", default=None, nargs="+", type=float)
@@ -288,5 +288,5 @@ def train_config_from(args) -> TrainConfig:
         force_alternation=args.force_alternation,
         seed=args.seed,
         freeze_trans=getattr(args, "freeze_trans", False),
-        ema_advances_per_step=getattr(args, "ema_advances_per_step", 1),
+        ema_advances_per_step=getattr(args, "ema_advances_per_step", 2),
     )

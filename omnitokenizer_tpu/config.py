@@ -85,6 +85,22 @@ class TokenizerConfig:
     # bf16 rounding level.  f32 always uses the exact reference path.
     fast_patchify: bool = True
 
+    # bf16 serving fast path: run the temporal transformer stack token-flat
+    # 2D ((b h w t), d) instead of ((b h w), t, d) — kills the 5-sublane
+    # relayout copies and makes PEG's quirk reshape a bitcast.  'auto' = on
+    # for bf16 TPU serving with t <= 8 (the benched graph); 'on'/'off' force
+    # it so CPU parity tests can exercise the exact serving composition.
+    flat_temporal: str = "auto"  # 'auto' | 'on' | 'off'
+
+    def use_flat_temporal(self, t: int) -> bool:
+        if self.flat_temporal == "on":
+            return True
+        if self.flat_temporal == "off":
+            return False
+        import jax as _jax
+        return (self.dtype == jnp.bfloat16 and t <= 8
+                and _jax.default_backend() == "tpu")
+
     @property
     def latent_t(self) -> int:
         """Latent frames for a full-length clip: 1 + (T-1)/pt."""
@@ -148,11 +164,13 @@ class TrainConfig:
     # freeze every {enc,dec}_{spatial,temporal}_transformer parameter —
     # the finetune-stage flag (vqgan_train.py:153-157)
     freeze_trans: bool = False
-    # 1 (default): codebook EMA advances once per G+D step (our fused
-    # one-forward design); 2: reference dynamics — the D pass re-runs the
-    # generator forward, advancing the EMA a second time per step
-    # (omnitokenizer.py:548,582).  See ABLATION.md for the convergence A/B.
-    ema_advances_per_step: int = 1
+    # 2 (default): exact reference dynamics — the D pass re-runs the
+    # generator forward, advancing the codebook EMA a second time per step
+    # (omnitokenizer.py:548,582); ABLATION.md's 500-step A/B shows this
+    # cadence holds ~38 live codes vs ~24, so it is the default so that raw
+    # reference flags reproduce reference codebook dynamics.  1: the fused
+    # one-forward step, ~25% cheaper, for throughput-bound runs.
+    ema_advances_per_step: int = 2
 
 
 @dataclass(frozen=True)

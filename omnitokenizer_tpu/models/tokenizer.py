@@ -82,14 +82,11 @@ class Encoder(nn.Module):
             # bf16 fast path: LN1+Linear folded into one strided conv
             # (ops/patch_fold.py); identical param tree, bf16-level numerics
             fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
-            # Pallas relayout has no linearization rule: serving path only
-            kern = fast and not training and not self.is_initializing()
             if fast:
                 g1, b1 = NormParams(C * p * p, name="to_patch_emb_first_frame_norm1")()
                 k1, kb1 = DenseParams(cfg.embedding_dim, C * p * p,
                                       name="to_patch_emb_first_frame_proj")()
-                ff = folded_patch_embed(first, g1, b1, k1, kb1, 1, p, cfg.dtype,
-                                        use_pallas=kern)
+                ff = folded_patch_embed(first, g1, b1, k1, kb1, 1, p, cfg.dtype)
             else:
                 ff = rearrange(first, "b t (h p1) (w p2) c -> b t h w (c p1 p2)", p1=p, p2=p)
                 ff = LayerNorm(C * p * p, name="to_patch_emb_first_frame_norm1")(ff)
@@ -102,8 +99,7 @@ class Encoder(nn.Module):
                     g2, b2 = NormParams(C * pt * p * p, name="to_patch_emb_norm1")()
                     k2, kb2 = DenseParams(cfg.embedding_dim, C * pt * p * p,
                                           name="to_patch_emb_proj")()
-                    rf = folded_patch_embed(rest, g2, b2, k2, kb2, pt, p, cfg.dtype,
-                                            use_pallas=kern)
+                    rf = folded_patch_embed(rest, g2, b2, k2, kb2, pt, p, cfg.dtype)
                 else:
                     rf = rearrange(rest, "b (t pt) (h p1) (w p2) c -> b t h w (c pt p1 p2)", pt=pt, p1=p, p2=p)
                     rf = LayerNorm(C * pt * p * p, name="to_patch_emb_norm1")(rf)
@@ -160,8 +156,7 @@ class Encoder(nn.Module):
         # bf16/TPU serving keeps the temporal stack token-flat 2D: the
         # ((b h w) t) row order makes PEG's quirk reshape a bitcast and
         # removes the 5-sublane relayout copies of the (B', t, d) form
-        flat_temporal = (cfg.dtype == jnp.bfloat16 and t <= 8
-                         and jax.default_backend() == "tpu")
+        flat_temporal = cfg.use_flat_temporal(t)
         if flat_temporal:
             x = rearrange(x, "b t h w d -> (b h w t) d")
         else:
@@ -230,8 +225,7 @@ class Decoder(nn.Module):
         _, t, h, w, d = tokens.shape
         video_shape = (b, t, h, w)
 
-        flat_temporal = (cfg.dtype == jnp.bfloat16 and t <= 8
-                         and jax.default_backend() == "tpu")
+        flat_temporal = cfg.use_flat_temporal(t)
         if flat_temporal:
             x = rearrange(tokens, "b t h w d -> (b h w t) d")
         else:
@@ -285,14 +279,11 @@ class Decoder(nn.Module):
             # bf16 fast path: weight-side column permutation makes the
             # un-patchify a coarse-chunk transpose (ops/patch_fold.py)
             fast = cfg.fast_patchify and cfg.dtype == jnp.bfloat16
-            # Pallas relayout has no linearization rule: serving path only
-            kern = fast and not training and not self.is_initializing()
             if fast:
                 kf, bf = DenseParams(C * p * p, x.shape[-1],
                                      name="to_pixels_first_frame")()
                 first_frame = fast_to_pixels(first_tok, kf, bf, 1, p, C, cfg.dtype,
-                                             mm_precision(cfg.dtype),
-                                             use_pallas=kern)
+                                             mm_precision(cfg.dtype))
             else:
                 ff = nn.Dense(C * p * p, dtype=cfg.dtype,
                               precision=mm_precision(cfg.dtype), name="to_pixels_first_frame")(first_tok)
@@ -303,8 +294,7 @@ class Decoder(nn.Module):
                     kr, br = DenseParams(C * pt * p * p, x.shape[-1],
                                          name="to_pixels")()
                     rest_frames = fast_to_pixels(rest_tok, kr, br, pt, p, C, cfg.dtype,
-                                                 mm_precision(cfg.dtype),
-                                                 use_pallas=kern)
+                                                 mm_precision(cfg.dtype))
                 else:
                     rf = nn.Dense(C * pt * p * p, dtype=cfg.dtype,
                                   precision=mm_precision(cfg.dtype), name="to_pixels")(rest_tok)

@@ -13,6 +13,9 @@ are precomputed per position with each angle duplicated across its lane pair.
 
 Replaces (per layer): 3 relayout transposes, the kv split copy, two f32
 l2norm round-trips, the f32 rope pass, and the HBM score matrix.
+
+(An in-kernel fused output projection — `wout=` — was A/B'd at 2126-2137 vs
+2143 f/s baseline and RETIRED; see PERF.md "cosine_mha experiments".)
 """
 
 from __future__ import annotations
@@ -46,14 +49,9 @@ def _rope_tables(dim_head: int, n: int):
     return np.repeat(cos, 2, axis=1), np.repeat(sin, 2, axis=1)
 
 
-def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, *rest,
-            n: int, heads: int, dim_head: int, scale: float, use_rope: bool,
-            fuse_out: bool):
-    if fuse_out:
-        wout_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
-        wout_ref = None
+def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, o_ref,
+            *, n: int, heads: int, dim_head: int, scale: float,
+            use_rope: bool):
     HD = heads * dim_head
     P = p_ref[:]  # (D, D) f32
     cos = cos_ref[:]  # (N, D) f32
@@ -95,35 +93,17 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, *rest,
             [vh, jnp.ones((n, dim_head), vh.dtype)], axis=1)
         oe = jax.lax.dot(e, v_ext, preferred_element_type=jnp.float32)
         oh = oe[:, :dim_head] / oe[:, dim_head:dim_head + 1]
-        if fuse_out:
-            # per-head block of the output projection: o @ Wout decomposes
-            # as sum_h oh (N, D) @ Wout[hD:(h+1)D] — each partial issues
-            # right here, overlapping the next head's exp sweep, and no
-            # (N, H*D) concat is materialized
-            wslc = wout_ref[h * dim_head:(h + 1) * dim_head, :]
-            return jax.lax.dot(oh.astype(jnp.bfloat16), wslc,
-                               preferred_element_type=jnp.float32)
         sl = slice(h * dim_head, (h + 1) * dim_head)
         o_ref[0, :, sl] = oh.astype(o_ref.dtype)
-        return None
 
     # software-pipelined over heads: head h+1's QK^T (MXU) is issued before
     # head h's exp sweep (VPU), so the two units overlap across the loop
-    ohs = []
     s_prev = qk_scores(0)
     for h in range(1, heads):
         s_next = qk_scores(h)
-        ohs.append(emit(h - 1, s_prev))
+        emit(h - 1, s_prev)
         s_prev = s_next
-    ohs.append(emit(heads - 1, s_prev))
-
-    if fuse_out:
-        # fused output projection (saves the separate XLA Dense plus one
-        # HBM roundtrip): sum of the per-head partials emitted above
-        acc = ohs[0]
-        for part in ohs[1:]:
-            acc = acc + part
-        o_ref[0] = acc.astype(o_ref.dtype)
+    emit(heads - 1, s_prev)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "scale",
@@ -131,12 +111,8 @@ def _kernel(q_ref, kv_ref, qs_ref, ks_ref, cos_ref, sin_ref, p_ref, *rest,
 def cosine_mha(q: jnp.ndarray, kv: jnp.ndarray,
                q_scale: jnp.ndarray, k_scale: jnp.ndarray,
                heads: int, dim_head: int, scale: float,
-               use_rope: bool = False, interpret: bool = False,
-               wout: jnp.ndarray = None) -> jnp.ndarray:
-    """q (B, N, H*D), kv (B, N, 2*H*D) -> (B, N, H*D).  Non-causal.
-
-    With `wout` (H*D, dim), the output projection is fused in-kernel and the
-    result is (B, N, dim)."""
+               use_rope: bool = False, interpret: bool = False) -> jnp.ndarray:
+    """q (B, N, H*D), kv (B, N, 2*H*D) -> (B, N, H*D).  Non-causal."""
     B, N, HD = q.shape
     cos_np, sin_np = _rope_tables(dim_head, N)
     cos = jnp.asarray(cos_np)
@@ -146,8 +122,6 @@ def cosine_mha(q: jnp.ndarray, kv: jnp.ndarray,
     # kernel's score matrix is already scaled (one fewer (N, N) VPU pass)
     qs = (q_scale.reshape(1, dim_head) * scale).astype(jnp.float32)
     ks = k_scale.reshape(1, dim_head).astype(jnp.float32)
-    fuse_out = wout is not None
-    out_dim = wout.shape[1] if fuse_out else HD
 
     in_specs = [
         pl.BlockSpec((1, N, HD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -158,30 +132,24 @@ def cosine_mha(q: jnp.ndarray, kv: jnp.ndarray,
         pl.BlockSpec((N, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((dim_head, dim_head), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [q, kv, qs, ks, cos, sin, P]
-    if fuse_out:
-        in_specs.append(pl.BlockSpec((HD, out_dim), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(wout.astype(jnp.bfloat16))
 
     return pl.pallas_call(
         functools.partial(_kernel, n=N, heads=heads, dim_head=dim_head,
-                          scale=scale, use_rope=use_rope, fuse_out=fuse_out),
+                          scale=scale, use_rope=use_rope),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, N, out_dim), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, N, HD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, out_dim), kv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), kv.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * heads * N * N * dim_head
-            + (2 * B * N * HD * out_dim if fuse_out else 0),
+            flops=4 * B * heads * N * N * dim_head,
             bytes_accessed=4 * B * N * HD * q.dtype.itemsize,
             transcendentals=B * heads * N * N,
         ),
         interpret=interpret,
-    )(*operands)
+    )(q, kv, qs, ks, cos, sin, P)
 
 
 def cosine_mha_supported(n: int, bias, causal: bool,

@@ -66,8 +66,7 @@ class DenseParams(nn.Module):
 
 def folded_patch_embed(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                        kernel: jnp.ndarray, bias: jnp.ndarray,
-                       pt: int, p: int, dtype: Any, eps: float = 1e-5,
-                       use_pallas: bool = False) -> jnp.ndarray:
+                       pt: int, p: int, dtype: Any, eps: float = 1e-5) -> jnp.ndarray:
     """pixels (B, t*pt, h*p, w*p, C) -> tokens (B, t, h, w, D).
 
     Equals LayerNorm(patchify(x)) @ kernel + bias with the reference's
@@ -90,24 +89,19 @@ def folded_patch_embed(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
              .transpose(1, 2, 3, 0, 4).reshape(feat, D)).astype(dtype)
 
     xd = x.astype(dtype)
-    if use_pallas:
-        from .pallas.patch_gather import patch_gather, patch_relayout_supported
-    if use_pallas and patch_relayout_supported(W, C, p):
-        # Mosaic relayout kernel: contiguous row-band DMA + in-VMEM cell
-        # transpose (see ops/pallas/patch_gather.py)
-        xr = patch_gather(xd, pt, p, C)
-    else:
-        # transpose+retile in ONE relayout: lax.reshape with `dimensions`
-        # fuses the permutation into the reshape (separate transpose/reshape
-        # each pay a full physical (8,128)-retiling pass on TPU)
-        xr = jax.lax.reshape(
-            xd.reshape(B, t, pt, h, p, w, p, C), (B, t, h, w, feat),
-            dimensions=(0, 1, 3, 5, 2, 4, 6, 7))
-        # keep the projection a plain dot on the materialized (…, feat)
-        # tensor: without the barrier XLA pattern-matches the reshape+dot
-        # back into a convolution and inserts an extra full-res layout copy
-        # to feed its conv lowering (trace: +0.53 ms copy.215)
-        xr = jax.lax.optimization_barrier(xr)
+    # transpose+retile in ONE relayout: lax.reshape with `dimensions`
+    # fuses the permutation into the reshape (separate transpose/reshape
+    # each pay a full physical (8,128)-retiling pass on TPU).  A Mosaic
+    # relayout kernel was tried and RETIRED: the (p2, c) cell shuffle is a
+    # sub-128-lane shape cast Mosaic cannot express (PERF.md round 3).
+    xr = jax.lax.reshape(
+        xd.reshape(B, t, pt, h, p, w, p, C), (B, t, h, w, feat),
+        dimensions=(0, 1, 3, 5, 2, 4, 6, 7))
+    # keep the projection a plain dot on the materialized (…, feat)
+    # tensor: without the barrier XLA pattern-matches the reshape+dot
+    # back into a convolution and inserts an extra full-res layout copy
+    # to feed its conv lowering (trace: +0.53 ms copy.215)
+    xr = jax.lax.optimization_barrier(xr)
 
     y = jax.lax.dot_general(xr, kperm, (((4,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -124,7 +118,7 @@ def folded_patch_embed(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
 
 def fast_to_pixels(tok: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                    pt: int, p: int, C: int, dtype: Any,
-                   precision=None, use_pallas: bool = False) -> jnp.ndarray:
+                   precision=None) -> jnp.ndarray:
     """tokens (B, t, h, w, D) -> pixels (B, t*pt, h*p, w*p, C).
 
     Equals (tok @ kernel + bias) un-patchified from the reference's
@@ -141,10 +135,6 @@ def fast_to_pixels(tok: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                             (((4,), (0,)), ((), ())), precision=precision,
                             preferred_element_type=jnp.float32)
     y = (y + bperm).astype(dtype)
-    if use_pallas:
-        from .pallas.patch_gather import patch_scatter, patch_relayout_supported
-    if use_pallas and patch_relayout_supported(w * p, C, p):
-        return patch_scatter(y, pt, p, C)
     y = jax.lax.optimization_barrier(y)
     # one fused permute+retile: b t h w (pt p1 p2 c) -> b (t pt) (h p1) (w p2) c
     return jax.lax.reshape(

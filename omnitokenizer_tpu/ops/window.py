@@ -89,10 +89,10 @@ class WindowAttention(nn.Module):
         bias_hnn = jnp.transpose(table[idx].reshape(NW, NW, self.num_heads),
                                  (2, 0, 1))  # (h, NW, NW)
 
-        # NOTE: a fused Pallas kernel for the per-window attentions
-        # (ops/pallas/window_attn.py) measured NEUTRAL-to-worse on the
-        # flagship (2277 -> 2263 f/s): the unrolled 64x64 matmuls don't
-        # beat XLA's batched lowering, which already keeps this ~0.7 ms.
+        # NOTE: a fused Pallas kernel for the per-window attentions was
+        # A/B'd NEUTRAL-to-worse on the flagship (2277 -> 2263 f/s) and
+        # retired: the unrolled 64x64 matmuls don't beat XLA's batched
+        # lowering, which already keeps this ~0.7 ms (PERF.md).
         qkv = qkv.reshape(BW, NW, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (BW, NW, h, d)
         fast = self.dtype == jnp.bfloat16

@@ -418,15 +418,150 @@ def install_stubs() -> None:
         sys.modules["OmniTokenizer"] = pkg
 
 
+class _CvVideoReader:
+    """decord.VideoReader stand-in backed by cv2 (video_utils.py:206-240
+    call surface: len, get_avg_fps, get_batch(idx).asnumpy()).  decord's
+    decode-time width/height resize is FFmpeg-swscale bilinear; the cv2
+    INTER_LINEAR here differs at the last bit, so e2e parity fixtures author
+    frames AT the target resolution (resize becomes identity, and cv2 mp4v
+    decode is bit-exact vs our native libav decoder — tests/test_native_video)."""
+
+    def __init__(self, path, width=None, height=None, **kw):
+        import cv2
+
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open {path}")
+        self._fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if width and height and (frame.shape[1] != width
+                                     or frame.shape[0] != height):
+                frame = cv2.resize(frame, (width, height),
+                                   interpolation=cv2.INTER_LINEAR)
+            frames.append(frame)
+        cap.release()
+        import numpy as np
+
+        self._frames = np.stack(frames) if frames else np.zeros(
+            (0, height or 0, width or 0, 3), "uint8")
+
+    def __len__(self):
+        return len(self._frames)
+
+    def get_avg_fps(self):
+        return self._fps
+
+    def get_batch(self, indices):
+        import numpy as np
+
+        out = self._frames[np.asarray(indices, int)]
+        return types.SimpleNamespace(asnumpy=lambda: out)
+
+
+def _build_functional_transforms(tfm):
+    """Faithful PIL-backed torchvision.transforms stand-ins — the exact
+    semantics the reference ImageDataset val path uses (data.py:92-99:
+    Resize bicubic -> ToTensor -> Normalize(0.5, 1)).  torchvision's Resize
+    on a PIL input is literally PIL Image.resize with the interpolation enum
+    mapped to the PIL resample code (the stub enums ARE the PIL codes)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class Resize:
+        def __init__(self, size, interpolation=2, **kw):
+            self.size = size if isinstance(size, (tuple, list)) else (size, size)
+            self.interpolation = int(interpolation)
+
+        def __call__(self, img):
+            h, w = self.size
+            return img.resize((w, h), resample=self.interpolation)
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = size if isinstance(size, (tuple, list)) else (size, size)
+
+        def __call__(self, img):
+            w, h = img.size
+            th, tw = self.size
+            left, top = (w - tw) // 2, (h - th) // 2
+            return img.crop((left, top, left + tw, top + th))
+
+    class RandomCrop:
+        def __init__(self, size):
+            self.size = size if isinstance(size, (tuple, list)) else (size, size)
+
+        def __call__(self, img):
+            import random as _random
+
+            w, h = img.size
+            th, tw = self.size
+            top = _random.randint(0, h - th) if h > th else 0
+            left = _random.randint(0, w - tw) if w > tw else 0
+            return img.crop((left, top, left + tw, top + th))
+
+    class ToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, img):
+            arr = np.asarray(img, np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+
+    class Normalize:
+        def __init__(self, mean, std, **kw):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class RandomHorizontalFlip:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, img):
+            return img
+
+    class Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    for cls in (Compose, Resize, CenterCrop, RandomCrop, ToTensor,
+                Normalize, RandomHorizontalFlip, Lambda):
+        setattr(tfm, cls.__name__, cls)
+
+
 def install_data_stubs() -> None:
-    """Extra stubs so the reference DATA layer imports (data.py pulls in
-    decord, torchvision transforms/io/VideoClips, ftfy, imagenet_stubs, and
-    timm.data) — enough to build parsers and exercise non-decode logic."""
+    """Extra stubs so the reference DATA layer imports AND its image/video
+    val pipelines RUN (data.py pulls in decord, torchvision transforms/io/
+    VideoClips, ftfy, imagenet_stubs, and timm.data).  The transforms and
+    decord.VideoReader stubs are FUNCTIONAL (PIL / cv2 backed) so the
+    end-to-end eval parity tests can drive the reference's actual dataset
+    classes; VideoClips/tvio stay import-only."""
     install_stubs()
     if "decord" in sys.modules:
         return
     dec = _mk_module("decord")
-    dec.VideoReader = object
+    dec.VideoReader = _CvVideoReader
     dec.cpu = lambda *a: None
     dec.bridge = types.SimpleNamespace(set_bridge=lambda *a, **k: None)
 
@@ -434,9 +569,7 @@ def install_data_stubs() -> None:
 
     tfm = _mk_module("torchvision.transforms")
     tfm.__path__ = []
-    for cls in ("Compose", "Resize", "CenterCrop", "RandomCrop", "ToTensor",
-                "Normalize", "RandomHorizontalFlip", "Lambda"):
-        setattr(tfm, cls, type(cls, (), {"__init__": lambda self, *a, **k: None}))
+    _build_functional_transforms(tfm)
     tfm.InterpolationMode = types.SimpleNamespace(BICUBIC=3, BILINEAR=2)
     torchvision.transforms = tfm
     tff = _mk_module("torchvision.transforms.functional")

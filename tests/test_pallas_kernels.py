@@ -133,32 +133,6 @@ def test_ln_qkv_interpret_matches_unfused():
         assert rel < 0.05, rel
 
 
-def test_window_mha_matches_reference():
-    """Fused window attention kernel vs the XLA batched path (interpret)."""
-    import numpy as np
-
-    from omnitokenizer_tpu.ops.pallas.window_attn import window_mha
-
-    rng = np.random.RandomState(0)
-    BW, NW, H, D = 4, 16, 2, 8
-    C = H * D
-    qkv = jnp.asarray(rng.randn(BW, NW, 3 * C).astype(np.float32))
-    bias = jnp.asarray(rng.randn(H, NW, NW).astype(np.float32) * 0.1)
-    scale = D ** -0.5
-
-    got = np.asarray(window_mha(qkv, bias, heads=H, dim_head=D, scale=scale,
-                                interpret=True))
-
-    q = qkv[:, :, :C].reshape(BW, NW, H, D).transpose(0, 2, 1, 3) * scale
-    k = qkv[:, :, C:2 * C].reshape(BW, NW, H, D).transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2 * C:].reshape(BW, NW, H, D).transpose(0, 2, 1, 3)
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k) + bias[None]
-    attn = jax.nn.softmax(sim, axis=-1)
-    want = jnp.einsum("bhij,bhjd->bhid", attn, v).transpose(0, 2, 1, 3)
-    want = np.asarray(want.reshape(BW, NW, C))
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
-
-
 def test_training_path_never_dispatches_pallas(monkeypatch):
     """Pallas kernels have no linearization rules — jax.grad through one
     CRASHES on real TPU (found live in round 2: vq_argmin + mha under the

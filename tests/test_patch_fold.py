@@ -111,52 +111,3 @@ def test_f32_ignores_fast_flag():
     r1, _ = n1.apply(v, x, False)
     r2, _ = n2.apply(v, x, False)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
-
-
-def test_patch_gather_pallas_interpret():
-    """Mosaic relayout kernel == the lax.reshape permutation (interpret)."""
-    from omnitokenizer_tpu.ops.pallas.patch_gather import patch_gather
-
-    rng = np.random.RandomState(5)
-    B, t, pt, h, p, w, C = 2, 2, 4, 3, 8, 4, 4
-    x = rng.randn(B, t * pt, h * p, w * p, C).astype(np.float32)
-    feat = pt * p * p * C
-
-    got = np.asarray(patch_gather(jnp.asarray(x), pt, p, C, interpret=True))
-
-    xr = x.reshape(B, t, pt, h, p, w, p, C)
-    want = xr.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, t, h, w, feat)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_patch_scatter_pallas_interpret_inverse():
-    from omnitokenizer_tpu.ops.pallas.patch_gather import (patch_gather,
-                                                           patch_scatter)
-
-    rng = np.random.RandomState(6)
-    B, t, pt, h, p, w, C = 1, 2, 2, 2, 8, 4, 4
-    x = rng.randn(B, t * pt, h * p, w * p, C).astype(np.float32)
-    tok = patch_gather(jnp.asarray(x), pt, p, C, interpret=True)
-    back = np.asarray(patch_scatter(tok, pt, p, C, interpret=True))
-    np.testing.assert_array_equal(back, x)
-
-
-def test_patch_gather_first_frame_pt1():
-    from omnitokenizer_tpu.ops.pallas.patch_gather import patch_gather
-
-    rng = np.random.RandomState(7)
-    B, h, p, w, C = 2, 4, 8, 4, 4
-    x = rng.randn(B, 1, h * p, w * p, C).astype(np.float32)
-    got = np.asarray(patch_gather(jnp.asarray(x), 1, p, C, interpret=True))
-    xr = x.reshape(B, 1, 1, h, p, w, p, C)
-    want = xr.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(B, 1, h, w, p * p * C)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_patch_relayout_supported_gating():
-    from omnitokenizer_tpu.ops.pallas.patch_gather import patch_relayout_supported
-
-    assert patch_relayout_supported(256, 3, 8, backend_check=False)   # 768 lanes
-    assert patch_relayout_supported(128, 3, 8, backend_check=False)   # 384 lanes
-    assert not patch_relayout_supported(64, 3, 8, backend_check=False)  # 192
-    assert not patch_relayout_supported(250, 3, 5, backend_check=False)

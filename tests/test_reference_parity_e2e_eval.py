@@ -1,0 +1,254 @@
+"""END-TO-END eval-NUMBER parity (VERDICT r2 item 3).
+
+Component parity can't see dataset-sampling / chunking / byte-cast /
+batch-accounting seams, so these tests run the reference's ACTUAL
+`vqgan_eval.py` pipelines — its dataset classes, its VQGAN forward
+(log_image=True), its `get_fvd_logits` MAX_BATCH=16 I3D chunking, its
+`frechet_distance`, its PNG-dump + vendored pytorch-fid flow, its usage
+accounting — on a tiny synthetic on-disk dataset with a converted random
+tokenizer and converted random I3D/Inception weights, and assert OUR
+`cli/vqgan_eval.py` prints the SAME final FVD / FID / usage numbers.
+
+Reference bars:
+  video branch  /root/reference/vqgan_eval.py:102-167
+  image branch  /root/reference/vqgan_eval.py:170-238
+  fvd chunking  /root/reference/OmniTokenizer/fvd/fvd.py:14-53
+  fid flow      /root/reference/evaluation/pytorch-fid/src/pytorch_fid/fid_score.py
+
+The synthetic fixtures author media AT the model resolution so the decode
+resize is identity on both sides (decord's swscale resize vs our libav path
+would otherwise differ at the last bit; see _CvVideoReader).
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "tests")
+from reference_oracle import (  # noqa: E402
+    install_data_stubs, lightning_ckpt_bytes, make_vqgan_args, ref_module,
+    ref_pytorch_fid_inception)
+
+RES = 64
+SEQ = 17
+N_CODES = 64
+
+MODEL_FLAGS = [
+    "--embedding_dim", "64", "--n_codes", str(N_CODES), "--codebook_dim", "8",
+    "--spatial_depth", "2", "--temporal_depth", "2", "--dim_head", "16",
+    "--heads", "4", "--enc_block", "tt", "--dec_block", "tt",
+    "--patch_size", "8", "--temporal_patch_size", "4",
+    "--resolution", str(RES), "--sequence_length", str(SEQ),
+]
+
+SMALL = dict(
+    embedding_dim=64, n_codes=N_CODES, codebook_dim=8,
+    spatial_depth=2, temporal_depth=2, dim_head=16, heads=4,
+    enc_block="tt", dec_block="tt", patch_size=8, temporal_patch_size=4,
+    resolution=RES, sequence_length=SEQ,
+)
+
+
+def _build_ref_model(tmp_path, seed=0):
+    om = ref_module("omnitokenizer")
+    args = make_vqgan_args(**SMALL)
+    torch.manual_seed(seed)
+    ref = om.VQGAN(args).eval()
+    ref.codebook._need_init = False  # vqgan_eval.py:84
+    path = str(tmp_path / "ref.ckpt")
+    with open(path, "wb") as f:
+        f.write(lightning_ckpt_bytes(ref))
+    return ref, path
+
+
+def _write_videos(root, n=4, frames=25):
+    import cv2
+
+    d = root / "test" / "classA"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        path = str(d / f"clip{i}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0,
+                             (RES, RES))
+        assert vw.isOpened()
+        # smooth low-frequency content so mp4v quantization stays benign
+        base = rng.rand(8, 8, 3)
+        for t in range(frames):
+            img = np.clip(
+                cv2.resize(base + 0.3 * np.sin(t / 3.0) * rng.rand(8, 8, 3),
+                           (RES, RES), interpolation=cv2.INTER_CUBIC),
+                0, 1)
+            vw.write((img[:, :, ::-1] * 255).astype(np.uint8))
+        vw.release()
+    return root
+
+
+def _write_images(root, n=8):
+    from PIL import Image
+
+    d = root / "val"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(9)
+    lines = []
+    for i in range(n):
+        arr = (rng.rand(RES, RES, 3) * 255).astype(np.uint8)
+        rel = f"val/img_{i}.png"
+        Image.fromarray(arr).save(str(root / rel))
+        lines.append(f"{rel}\t{i % 10}")
+    ann = root / "ann.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    return root, ann
+
+
+def _run_our_cli(argv):
+    from omnitokenizer_tpu.cli import vqgan_eval
+
+    vqgan_eval.main(argv)
+
+
+@pytest.mark.slow
+def test_video_branch_fvd_and_usage_number_parity(tmp_path):
+    """reference vqgan_eval.py:102-167 (DecordVideoDataset -> center-sample
+    -> VQGAN forward -> get_fvd_logits MAX_BATCH chunks -> frechet_distance
+    -> usage) == our cli/vqgan_eval.py video mode, same printed numbers."""
+    install_data_stubs()
+    ref_data = ref_module("data")
+    rutils = ref_module("utils")
+    rfvd = importlib.import_module("OmniTokenizer.fvd.fvd")
+    pi3d = importlib.import_module("OmniTokenizer.fvd.pytorch_i3d")
+
+    vid_root = _write_videos(tmp_path / "vids")
+    ref_model, ckpt = _build_ref_model(tmp_path)
+
+    torch.manual_seed(3)
+    i3d = pi3d.InceptionI3d(400, in_channels=3).eval()
+    i3d_pt = str(tmp_path / "i3d.pt")
+    torch.save(i3d.state_dict(), i3d_pt)
+
+    # ---- the reference pipeline, verbatim semantics --------------------
+    ds = ref_data.DecordVideoDataset(
+        str(vid_root), data_list=None, fps=None, sequence_length=SEQ,
+        train=False, resolution=RES)
+    loader = torch.utils.data.DataLoader(ds, batch_size=2, shuffle=False,
+                                         num_workers=0)
+    real_embeddings, fake_embeddings = [], []
+    total_usage = torch.zeros(N_CODES)
+    with torch.no_grad():
+        for batch in loader:
+            input_ = batch["video"]
+            _, _, x, x_recons, vq_output = ref_model(input_, log_image=True)
+            real_videos = batch["video"] + 0.5
+            fake_videos = torch.clamp(x_recons.detach() + 0.5, 0, 1)
+            real_embeddings.append(rfvd.get_fvd_logits(
+                rutils.shift_dim(real_videos * 255, 1, -1).byte().data.numpy(),
+                i3d=i3d, device="cpu"))
+            fake_embeddings.append(rfvd.get_fvd_logits(
+                rutils.shift_dim(fake_videos * 255, 1, -1).byte().data.numpy(),
+                i3d=i3d, device="cpu"))
+            total_usage += vq_output["batch_usage"].cpu()
+    fvd_ref = float(rfvd.frechet_distance(
+        torch.cat(fake_embeddings, 0), torch.cat(real_embeddings, 0)))
+    usage_ref = float((total_usage > 0).sum()) / N_CODES
+
+    # ---- our CLI on the same on-disk dataset ---------------------------
+    save = tmp_path / "ours"
+    _run_our_cli(MODEL_FLAGS + [
+        "--vqgan_ckpt", ckpt, "--inference_type", "video",
+        "--loader_type", "sep", "--data_path", str(vid_root),
+        "--train_datalist", "none", "--val_datalist", "none",
+        "--batch_size", "2", "--num_workers", "1",
+        "--save", str(save), "--i3d_path", i3d_pt,
+    ])
+    result = json.load(open(save / "result.json"))
+
+    assert result["fvd"] == pytest.approx(fvd_ref, rel=0.02, abs=0.5), (
+        result["fvd"], fvd_ref)
+    assert result["codebook_usage"] == pytest.approx(usage_ref, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_image_branch_fid_and_usage_number_parity(tmp_path, monkeypatch):
+    """reference vqgan_eval.py:170-238 (ImageDataset -> VQGAN forward -> PNG
+    dumps -> vendored pytorch-fid over the dumped trees -> usage) == our
+    cli/vqgan_eval.py image mode, same printed numbers."""
+    install_data_stubs()
+    ref_data = ref_module("data")
+    inc_mod = ref_pytorch_fid_inception()
+    fid_score = importlib.import_module("pytorch_fid.fid_score")
+    sys.modules.setdefault("pytorch_fid.inception", inc_mod)
+
+    from PIL import Image
+
+    img_root, ann = _write_images(tmp_path / "imgs")
+    ref_model, ckpt = _build_ref_model(tmp_path)
+
+    # deterministic random FIDInception (same builder as
+    # test_reference_parity_eval.py::_build_random_fid_inception)
+    from test_reference_parity_eval import _build_random_fid_inception
+
+    _, inc = _build_random_fid_inception()
+    inc_pt = str(tmp_path / "pt_inception.pth")
+    torch.save(inc.state_dict(), inc_pt)
+    monkeypatch.setattr(inc_mod, "fid_inception_v3", lambda: inc)
+
+    # ---- the reference pipeline, verbatim semantics --------------------
+    ds = ref_data.ImageDataset(str(img_root), str(ann), train=False,
+                               resolution=RES)
+    loader = torch.utils.data.DataLoader(ds, batch_size=4, shuffle=False,
+                                         num_workers=0)
+    save_ref = tmp_path / "refout"
+    total_usage = torch.zeros(N_CODES)
+    with torch.no_grad():
+        for batch in loader:
+            _, _, x, x_recons, vq_output = ref_model(batch["video"],
+                                                     log_image=True)
+            total_usage += vq_output["batch_usage"].cpu()
+            for p, input_, recon_ in zip(batch["path"], x, x_recons):
+                # vqgan_eval.py:201-220 dump loop
+                path = os.path.join(str(save_ref), "input", p)
+                os.makedirs(os.path.split(path)[0], exist_ok=True)
+                input_ = input_.permute(1, 2, 0).detach().cpu()
+                Image.fromarray(((input_ + 0.5).numpy() * 255
+                                 ).astype(np.uint8)).save(path)
+                path = os.path.join(str(save_ref), "recon", p)
+                os.makedirs(os.path.split(path)[0], exist_ok=True)
+                recon_ = recon_.permute(1, 2, 0).detach().cpu()
+                Image.fromarray((torch.clamp(recon_ + 0.5, 0, 1).numpy() * 255
+                                 ).astype(np.uint8)).save(path)
+    usage_ref = float((total_usage > 0).sum()) / N_CODES
+
+    # the subprocess at vqgan_eval.py:226-236 == pytorch-fid over the two
+    # dumped trees with the FID-variant InceptionV3 (default resize_input/
+    # normalize_input, dims 2048)
+    wrapper = inc_mod.InceptionV3([3]).eval()
+    m1, s1 = fid_score.compute_statistics_of_path(
+        os.path.join(str(save_ref), "input", "val"), wrapper, 4, 2048, "cpu",
+        num_workers=0)
+    m2, s2 = fid_score.compute_statistics_of_path(
+        os.path.join(str(save_ref), "recon", "val"), wrapper, 4, 2048, "cpu",
+        num_workers=0)
+    fid_ref = float(fid_score.calculate_frechet_distance(m1, s1, m2, s2))
+
+    # ---- our CLI on the same on-disk dataset ---------------------------
+    save = tmp_path / "ours"
+    _run_our_cli(MODEL_FLAGS + [
+        "--vqgan_ckpt", ckpt, "--inference_type", "image",
+        "--loader_type", "sep", "--data_path", str(img_root),
+        "--train_datalist", str(ann), "--val_datalist", str(ann),
+        "--batch_size", "4", "--num_workers", "1",
+        "--save", str(save), "--inception_path", inc_pt,
+    ])
+    result = json.load(open(save / "result.json"))
+
+    # rel tolerance absorbs the matrix-sqrt algorithm difference (scipy
+    # sqrtm vs our SVD) on the tiny-sample covariance plus f32-vs-torch
+    # conversion noise in the dumped uint8 pixels
+    assert result["fid"] == pytest.approx(fid_ref, rel=0.05, abs=1.0), (
+        result["fid"], fid_ref)
+    assert result["codebook_usage"] == pytest.approx(usage_ref, abs=1e-9)
