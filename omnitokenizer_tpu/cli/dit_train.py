@@ -49,6 +49,13 @@ def build_parser(video: bool = False):
     p.add_argument("--synthetic_data", action="store_true",
                    help="train directly on random latents (no VAE/data needed)")
     p.add_argument("--wandb_project", type=str, default=None)
+    if video:
+        p.add_argument("--use_image_num", type=int, default=0,
+                       help="latte_img joint image-video training "
+                            "(Diffusion/Latte/train_with_img.py): append N "
+                            "independent image latents per sample; they ride "
+                            "spatial blocks with their own labels and bypass "
+                            "temporal blocks")
     return p
 
 
@@ -120,10 +127,16 @@ def main(argv=None, video: bool = False):
     tx = optax.chain(*tx_parts)
     state = DiffusionTrainState(params, params, tx.init(params), jnp.int32(0))
 
-    def loss_model_fn(p, x_t, t, drop_rng, y=None, text_embedding=None):
+    use_image_num = getattr(args, "use_image_num", 0) if video else 0
+
+    def loss_model_fn(p, x_t, t, drop_rng, y=None, text_embedding=None,
+                      y_image=None):
         kw = dict(train=True)
         if video and text_embedding is not None:
             kw["text_embedding"] = text_embedding
+        if use_image_num:  # static: drives the video/image frame split
+            kw["use_image_num"] = use_image_num
+            kw["y_image"] = y_image
         return model.apply({"params": p}, x_t, t, y,
                            rngs={"label_dropout": drop_rng}, **kw)
 
@@ -141,6 +154,10 @@ def main(argv=None, video: bool = False):
 
     adapter = None if args.synthetic_data else load_vae_adapter(args)
     encode = encode_batch_fn(adapter, video) if adapter else None
+    # latte_img joint training encodes the appended frames as IMAGES
+    # (train_with_img.py:227-231 encodes per-frame; with the omnitokenizer
+    # VAE that is the is_image=True path, one latent frame per image)
+    encode_img = encode_batch_fn(adapter, video=False) if adapter else None
     data_iter = None
     if not args.synthetic_data and args.train_datalist[0] != "none":
         from ..data.loader import VideoData
@@ -152,23 +169,58 @@ def main(argv=None, video: bool = False):
     B = max(args.global_batch_size // jax.process_count(), 1)
     step = int(state.step)
     while step < args.max_steps:
+        y_image = None
         if data_iter is not None:
             batch = next(data_iter, None)
             if batch is None:
                 data_iter = iter(loader)
                 batch = next(data_iter)
-            pix = np.asarray(batch["video"], np.float32)
-            if not video and pix.ndim == 5:  # (B,C,T,H,W) -> (B,C,H,W)
-                pix = pix[:, :, 0]
-            x0 = encode(pix, seed=step) if encode else jnp.asarray(pix)
+            pix = np.asarray(batch["video"], np.float32)  # channels-last
+            if not video and pix.ndim == 5:  # video dataset -> first frame
+                pix = pix[:, 0]
             y = np.asarray(batch.get("label", np.zeros(len(pix)))).astype(np.int32)
+            img_pix = None
+            if video and use_image_num:
+                # train_with_img batch mixing (the ucf101_img datasets draw
+                # use_image_num random frames from the global frame pool,
+                # each with its source video's label): draw frames from
+                # rolled batch rows so every image comes from a different
+                # sample than its host video
+                Bc, Tc = pix.shape[:2]
+                img_pix = np.empty((Bc, use_image_num) + pix.shape[2:],
+                                   np.float32)
+                y_image = np.empty((Bc, use_image_num), np.int32)
+                for j in range(use_image_num):
+                    src = np.roll(np.arange(Bc), j + 1)
+                    fidx = rng.randint(0, Tc, size=Bc)
+                    img_pix[:, j] = pix[src, fidx]
+                    y_image[:, j] = y[src]
+            if encode:
+                # wrapper.encode consumes torch layout (models/wrapper.py)
+                x0 = encode(np.moveaxis(pix, -1, 1), seed=step)
+                if img_pix is not None:
+                    flat = img_pix.reshape((-1,) + img_pix.shape[2:])
+                    zi = encode_img(np.moveaxis(flat, -1, 1), seed=step + 1)
+                    zi = zi.reshape((len(pix), use_image_num) + zi.shape[1:])
+                    x0 = jnp.concatenate([jnp.asarray(x0), zi], axis=1)
+            else:
+                x0 = jnp.asarray(pix)
+                if img_pix is not None:
+                    x0 = jnp.concatenate([x0, jnp.asarray(img_pix)], axis=1)
         else:
             x0 = jnp.asarray(synthetic_latents(rng, B, cfg, video))
+            if use_image_num:
+                extra = synthetic_latents(rng, B, cfg, video)[:, :use_image_num]
+                x0 = jnp.concatenate([x0, jnp.asarray(extra)], axis=1)
+                y_image = rng.randint(0, max(cfg.num_classes, 1),
+                                      size=(B, use_image_num)).astype(np.int32)
             y = rng.randint(0, max(cfg.num_classes, 1), size=(len(x0),)).astype(np.int32)
 
         ts, weights = sampler.sample(len(x0), rng)
         key, sub = jax.random.split(key)
         cond = {"y": jnp.asarray(y)} if cfg.num_classes else {}
+        if use_image_num and y_image is not None and cfg.num_classes:
+            cond["y_image"] = jnp.asarray(y_image)
         x0 = jnp.asarray(x0)
         if len(x0) % mesh.size == 0:  # GSPMD data-parallel shard over 'data'
             x0 = shard_batch(x0, mesh)

@@ -77,11 +77,19 @@ class Latte(nn.Module):
         return x.reshape(BF, h * p, w * p, c)
 
     @nn.compact
-    def __call__(self, x, t, y=None, text_embedding=None, train: bool = False, force_drop_ids=None):
+    def __call__(self, x, t, y=None, text_embedding=None, train: bool = False,
+                 force_drop_ids=None, y_image=None, use_image_num: int = 0):
+        """use_image_num > 0 = the latte_img joint image-video variant
+        (Diffusion/Latte/models/latte_img.py:316-400): the trailing
+        `use_image_num` entries of the frame axis are INDEPENDENT images —
+        they ride the spatial blocks with per-image class conditioning
+        (`y_image` (B, use_image_num), :336-346) but BYPASS the temporal
+        blocks and the temporal sincos embed (:373-389)."""
         cfg = self.cfg
         assert cfg.depth % 2 == 0, "Latte pairs spatial+temporal blocks; depth must be even"
         prec = mm_precision(cfg.dtype)
         B, F, H, W, C = x.shape
+        Fv = F - use_image_num  # video frames (latte_img.py:374-376 split)
         grid = cfg.input_size // cfg.patch_size
         N = grid * grid
 
@@ -97,10 +105,20 @@ class Latte(nn.Module):
 
         t_emb = TimestepEmbedder(cfg.hidden_size, dtype=cfg.dtype, name="t_embed")(t)  # (B, D)
         cond = None
+        cond_spatial = None  # (B*F, D) override when image frames carry own labels
         if cfg.extras == 2:
-            cond = LabelEmbedder(
-                cfg.num_classes, cfg.hidden_size, cfg.class_dropout_prob, dtype=cfg.dtype, name="y_embed"
-            )(y, train=train, force_drop_ids=force_drop_ids)
+            embedder = LabelEmbedder(
+                cfg.num_classes, cfg.hidden_size, cfg.class_dropout_prob, dtype=cfg.dtype, name="y_embed")
+            cond = embedder(y, train=train, force_drop_ids=force_drop_ids)
+            if use_image_num and y_image is not None:
+                # latte_img.py:336-346: y_spatial = [video y x Fv frames,
+                # then each image's own label embedding]
+                y_img_emb = embedder(y_image.reshape(-1), train=train,
+                                     force_drop_ids=force_drop_ids)
+                y_img_emb = y_img_emb.reshape(B, use_image_num, -1)
+                y_sp = jnp.concatenate(
+                    [jnp.repeat(cond[:, None], Fv, axis=1), y_img_emb], axis=1)
+                cond_spatial = y_sp.reshape(B * F, -1)
         elif cfg.extras == 78:
             emb = text_embedding.reshape(B, -1).astype(cfg.dtype)  # (B, 77*768)
             cond = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, precision=prec, name="text_proj")(nn.silu(emb))
@@ -108,21 +126,28 @@ class Latte(nn.Module):
         def rep(v, times):  # (B, D) -> (B*times, D), matching einops 'n d -> (n c) d'
             return jnp.repeat(v, times, axis=0)
 
-        c_spatial = rep(t_emb if cond is None else t_emb + cond, F)   # (B*F, D)
+        t_spatial = rep(t_emb, F)
+        if cond_spatial is not None:
+            c_spatial = t_spatial + cond_spatial
+        else:
+            c_spatial = t_spatial if cond is None else rep(t_emb + cond, F)
         c_temp = rep(t_emb if cond is None else t_emb + cond, N)      # (B*N, D)
 
         for i in range(0, cfg.depth, 2):
             h = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, cfg.dtype, name=f"block_{i}")(h, c_spatial)
             # (B*F, N, D) -> (B*N, F, D)
             h = h.reshape(B, F, N, -1).transpose(0, 2, 1, 3).reshape(B * N, F, -1)
+            hv, hi = h[:, :Fv], h[:, Fv:]
             if i == 0:
-                h = h + temp[None, :F]
-            h = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, cfg.dtype, name=f"block_{i + 1}")(h, c_temp)
+                hv = hv + temp[None, :Fv]
+            hv = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, cfg.dtype, name=f"block_{i + 1}")(hv, c_temp)
+            h = jnp.concatenate([hv, hi], axis=1) if use_image_num else hv
             h = h.reshape(B, N, F, -1).transpose(0, 2, 1, 3).reshape(B * F, N, -1)
 
-        # reference quirk (latte.py:375-377): the final layer is conditioned
-        # on timestep(+class) only — extras=78 text conditioning is NOT added
-        c_final = c_spatial if cfg.extras == 2 else rep(t_emb, F)
+        # reference quirk (latte.py:375-377 / latte_img.py:393-396): the
+        # final layer is conditioned on timestep(+class) only — extras=78
+        # text conditioning is NOT added
+        c_final = c_spatial if cfg.extras == 2 else t_spatial
         h = FinalLayer(cfg.hidden_size, cfg.patch_size, cfg.out_channels, cfg.dtype, name="final")(h, c_final)
         h = self.unpatchify(h)  # (B*F, H, W, out_C)
         return h.reshape(B, F, H, W, cfg.out_channels)

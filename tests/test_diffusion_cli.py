@@ -71,3 +71,19 @@ def test_latte_train_and_sample_roundtrip(tmp_path):
     assert latents
     z = np.load(latents[0])
     assert z.shape == (1, 2, 4, 4, 4) and np.isfinite(z).all()  # latent frames 1+(5-1)//4
+
+
+def test_latte_train_with_images(tmp_path):
+    """latte_img joint image-video training (train_with_img.py analogue):
+    --use_image_num appends independent image latents with their own labels;
+    one synthetic step trains and checkpoints."""
+    results = str(tmp_path / "latte_img")
+    state = latte_train.main(LTINY + [
+        "--results_dir", results, "--max_steps", "2", "--ckpt_every", "2",
+        "--log_every", "1", "--use_image_num", "2"])
+    assert int(state.step) == 2
+    assert glob.glob(os.path.join(results, "state_*.msgpack"))
+    import json
+
+    lines = [json.loads(l) for l in open(os.path.join(results, "metrics.jsonl"))]
+    assert all(np.isfinite(l["loss"]) for l in lines)
