@@ -87,3 +87,49 @@ def test_latte_train_with_images(tmp_path):
 
     lines = [json.loads(l) for l in open(os.path.join(results, "metrics.jsonl"))]
     assert all(np.isfinite(l["loss"]) for l in lines)
+
+
+T2V_TINY = [
+    "--num_layers", "2", "--num_attention_heads", "2",
+    "--attention_head_dim", "8", "--cross_attention_dim", "16",
+    "--caption_channels", "12", "--in_channels", "4", "--out_channels", "8",
+    "--image_size", "32", "--video_length", "3",
+    "--num_sampling_steps", "3", "--guidance_scale", "7.5",
+    "--max_token_length", "16",
+]
+
+
+def test_latte_t2v_sample_byte_fallback(tmp_path):
+    """VideoGenPipeline analogue end to end on the deterministic
+    byte-embedding text fallback: CFG doubling, learned-sigma drop, ddim
+    loop, latents written."""
+    from omnitokenizer_tpu.cli import latte_t2v_sample
+
+    save = str(tmp_path / "t2v")
+    z = latte_t2v_sample.main(T2V_TINY + [
+        "--save_img_path", save,
+        "--text_prompt", "a corgi on the beach", "sunset over the sea",
+    ])
+    assert z.shape == (2, 3, 4, 4, 4) and np.isfinite(z).all()
+    assert os.path.exists(os.path.join(save, "latents.npy"))
+
+
+def test_latte_t2v_sample_with_tiny_t5(tmp_path):
+    """The real transformers T5EncoderModel seam (random tiny T5 saved to
+    disk; byte-ids stand in for the absent sentencepiece tokenizer)."""
+    from transformers import T5Config, T5EncoderModel
+
+    t5 = T5EncoderModel(T5Config(
+        vocab_size=64, d_model=12, d_kv=4, d_ff=16, num_layers=1,
+        num_heads=3, relative_attention_num_buckets=8))
+    t5_dir = str(tmp_path / "t5")
+    t5.save_pretrained(t5_dir)
+
+    from omnitokenizer_tpu.cli import latte_t2v_sample
+
+    save = str(tmp_path / "t2v_t5")
+    z = latte_t2v_sample.main(T2V_TINY + [
+        "--save_img_path", save, "--t5_dir", t5_dir, "--sample_method",
+        "ddpm", "--text_prompt", "yellow and black tropical fish",
+    ])
+    assert z.shape == (1, 3, 4, 4, 4) and np.isfinite(z).all()
