@@ -189,11 +189,18 @@ def main(argv=None):
         with open(latest, "rb") as f:
             params, opt_state, step = serialization.from_bytes(
                 (params, opt_state, step), f.read())
-        # restore device placement (incl. TP shardings) from the templates
+        # restore device placement from the templates — but ONLY mesh
+        # (NamedSharding) placements, i.e. the TP case.  Re-committing to a
+        # template's SingleDeviceSharding would pin the restored params to
+        # device 0, which then conflicts with a data-sharded batch under jit;
+        # uncommitted arrays let jit replicate them over the mesh itself.
+        from jax.sharding import NamedSharding as _NS
+
         def replace_sharding(tmpl, tree):
             return jax.tree_util.tree_map(
                 lambda t, x: jax.device_put(x, t.sharding)
-                if hasattr(t, "sharding") else x, tmpl, tree)
+                if isinstance(getattr(t, "sharding", None), _NS) else x,
+                tmpl, tree)
         params = replace_sharding(tmpl_p, params)
         opt_state = replace_sharding(tmpl_o, opt_state)
         print(f"auto-resumed from {latest} at step {step}")
@@ -221,6 +228,15 @@ def main(argv=None):
                 f.write(serialization.to_bytes(
                     (jax.device_get(params), jax.device_get(opt_state), step)))
         step += 1
+
+    # final checkpoint: without it a run whose max_steps isn't a multiple of
+    # the 3000-step cadence leaves nothing to auto-resume from / evaluate
+    if step > 0 and jax.process_index() == 0:
+        final = os.path.join(root, "checkpoints", f"step_{step:08d}.msgpack")
+        if not os.path.exists(final):
+            with open(final, "wb") as f:
+                f.write(serialization.to_bytes(
+                    (jax.device_get(params), jax.device_get(opt_state), step)))
 
 
 if __name__ == "__main__":

@@ -58,9 +58,16 @@ def _args(root, run_dir, extra=()):
 def test_transformer_train_and_resume(fixture_dir, tmp_path):
     run_dir = str(tmp_path / "lm_run")
     transformer_train.main(_args(fixture_dir, run_dir))
-    assert glob.glob(os.path.join(run_dir, "checkpoints", "*.msgpack")) or \
-        os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    # a final checkpoint must exist even when max_steps isn't a multiple of
+    # the 3000-step cadence (auto-resume/eval need the tail state)
+    ckpts = glob.glob(os.path.join(run_dir, "checkpoints", "*.msgpack"))
+    assert ckpts, "no final checkpoint written"
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    # auto-resume picks it up and continues to the new max_steps
+    transformer_train.main(_args(fixture_dir, run_dir) + ["--max_steps", "3"])
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        steps = [__import__("json").loads(l)["step"] for l in f if l.strip()]
+    assert max(steps) == 2  # resumed at 2, ran exactly one more step
 
 
 def test_transformer_train_model_parallel(fixture_dir, tmp_path):
