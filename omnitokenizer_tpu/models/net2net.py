@@ -40,6 +40,14 @@ class Net2NetTransformer:
     def __init__(self, cfg: Net2NetConfig, tokenizer: OmniTokenizerVQGAN,
                  gpt_params: Optional[Any] = None, seed: int = 0,
                  cond_stage_model: Optional[OmniTokenizerVQGAN] = None):
+        if cfg.unconditional and cfg.starts_with_sos:
+            # the reference FORCES starts_with_sos off when unconditional
+            # (lm_transformer.py:57-58): the sos token 0 is prepended anyway
+            # but shares id space with code 0 — no vocab slot, no +1 offset.
+            # Keeping the flag set would offset targets past vocab_size and
+            # produce NaN cross-entropy.
+            import dataclasses
+            cfg = dataclasses.replace(cfg, starts_with_sos=False)
         self.cfg = cfg
         self.tokenizer = tokenizer
         # second tokenizer for 'stft' conditioning (lm_transformer.py:115-122)

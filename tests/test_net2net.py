@@ -76,3 +76,22 @@ def test_download_registry():
         resolve_checkpoint("not_a_model")
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint("imagenet_k600")  # known name, no local file
+
+
+def test_unconditional_forces_sos_off_and_finite_loss():
+    """Reference lm_transformer.py:57-58: unconditional FORCES
+    starts_with_sos=False (sos token 0 shares id space with code 0, no vocab
+    slot).  Regression: the +1 z_offset pushed targets past vocab_size and
+    made the CE NaN from step 0."""
+    tok = OmniTokenizerVQGAN.from_config(TOK_CFG, seed=0)
+    cfg = Net2NetConfig(
+        gpt=GPTConfig(vocab_size=64, block_size=64,
+                      n_layer=1, n_head=2, n_embd=32),
+        class_cond_dim=0, first_stage_vocab_size=64,
+        unconditional=True, starts_with_sos=True)
+    n2n = Net2NetTransformer(cfg, tok, seed=0)
+    assert n2n.cfg.starts_with_sos is False
+    assert n2n.z_offset == 0
+    z_ids = jnp.asarray(RNG.randint(0, 64, (2, 16)), jnp.int32)
+    loss, metrics = n2n.loss_fn(n2n.gpt_params, z_ids, None)
+    assert np.isfinite(float(loss)) and np.isfinite(float(metrics["acc1"]))
