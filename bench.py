@@ -30,6 +30,8 @@ def main():
     from omnitokenizer_tpu.models.tokenizer import OmniTokenizerNet
 
     cfg = imagenet_k600_config().replace(dtype=jnp.bfloat16)
+    if os.environ.get("OMNITOK_BENCH_FP32_QUANT", "1") == "0":
+        cfg = cfg.replace(fp32_quant=False)  # A/B knob, default untouched
     wrapper = OmniTokenizerVQGAN.from_config(cfg, seed=0)
     net = wrapper.net
     variables = wrapper.serving_variables()

@@ -101,7 +101,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--restart_thres", type=float, default=1.0)
     p.add_argument("--commitment_weight", type=float, default=0.25)
     p.add_argument("--norm_type", type=str, default="group", choices=["batch", "group"])
-    p.add_argument("--fp32_quant", action="store_true")
+    p.add_argument("--fp32_quant", action=argparse.BooleanOptionalAction, default=True,
+                   help="f32 pre-VQ projection + distances on the bf16 path "
+                        "(--no_fp32_quant trades exact indices for speed)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute path")
     p.add_argument("--fp16", action="store_true",
                    help="accepted for recipe compat; maps to the bf16 path "

@@ -66,7 +66,10 @@ class TokenizerConfig:
     restart_thres: float = 1.0
     commitment_weight: float = 1.0
     kl_weight: float = 1e-6
-    fp32_quant: bool = False
+    # quantize (pre_vq projection + codebook distances) in f32 even on the
+    # bf16 serving path — index-exactness vs the oracle graph at ~0.3 ms/call
+    # (A/B + agreement numbers in PERF.md round 3)
+    fp32_quant: bool = True
 
     # attention semantics: the reference computes spatial rel-bias and AliBi
     # but silently drops them on its SDPA fast path

@@ -346,8 +346,12 @@ class OmniTokenizerNet(nn.Module):
         self.encoder = Encoder(cfg)
         self.decoder = Decoder(cfg)
         out_dim = cfg.codebook_dim * (2 if cfg.use_vae else 1)
-        self.pre_vq_conv = nn.Dense(out_dim, dtype=jnp.float32,
-                                    precision=mm_precision(jnp.float32), name="pre_vq_conv")
+        # fp32_quant (default): keep the pre-VQ projection f32 even on the
+        # bf16 serving path so codebook indices stay exact vs the oracle
+        # graph; --no_fp32_quant trades that for ~0.3 ms/call (PERF.md r3)
+        vq_dtype = jnp.float32 if cfg.fp32_quant else cfg.dtype
+        self.pre_vq_conv = nn.Dense(out_dim, dtype=vq_dtype,
+                                    precision=mm_precision(vq_dtype), name="pre_vq_conv")
         self.post_vq_conv = nn.Dense(cfg.embedding_dim, dtype=cfg.dtype,
                                      precision=mm_precision(cfg.dtype), name="post_vq_conv")
         self.codebook = Codebook(
@@ -362,7 +366,8 @@ class OmniTokenizerNet(nn.Module):
                       training: bool = False) -> jnp.ndarray:
         """pixels (B,T,H,W,C) -> pre-quant latents (B,t,h,w,code_dim[*2])."""
         h = self.encoder(x, is_image, training=training)
-        return self.pre_vq_conv(h.astype(jnp.float32))
+        vq_dtype = jnp.float32 if self.cfg.fp32_quant else self.cfg.dtype
+        return self.pre_vq_conv(h.astype(vq_dtype))
 
     def quantize(self, h: jnp.ndarray, training: bool = False, axis_name: Optional[str] = None):
         if self.cfg.l2_code:

@@ -28,7 +28,7 @@ class PEG(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, video_shape: Tuple[int, int, int, int],
-                 residual: bool = False) -> jnp.ndarray:
+                 residual: bool = False, training: bool = False) -> jnp.ndarray:
         """residual=True returns peg(x) + x fused (bf16 kernel folds the add
         into its output pass)."""
         orig_shape = x.shape
@@ -43,10 +43,14 @@ class PEG(nn.Module):
 
         # unrolled shifted multiply-adds: XLA's grouped-conv lowering for
         # feature_group_count=dim runs ~15x slower than its FLOP cost.
-        # (A Pallas VMEM-resident tap kernel was tried and measured SLOWER
-        # than this kLoop fusion — Mosaic's padded strided slices cost more
-        # than the HBM traffic they save; the fusion already runs at ~2.1
-        # TFLOP/s, within ~2x of VPU peak.)
+        # This kLoop fusion is the measured floor for this op (PERF.md
+        # round 3): three Pallas formulations lost on-chip — naive per-tap
+        # strided slices, a hoisted-sublane-shift kernel per (b,t,c) block
+        # (1.04 vs 0.95 ms microbench), and a T-loop variant sharing shifted
+        # planes across the temporal window (2129 vs 2315 f/s in-model; the
+        # standalone kernel forfeits XLA's fusion with neighbouring ops and
+        # pays a separate full-tensor pad).  Bound analysis: hoisting the
+        # W (sublane) rotates saves ~0.17 ms/PEG but costs ~0.2 ms of copies.
         tpad = (2, 0) if self.causal else (1, 1)
         gp = jnp.pad(g, ((0, 0), tpad, (1, 1), (1, 1), (0, 0)))
         k = kernel.astype(self.dtype)

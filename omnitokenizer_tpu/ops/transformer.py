@@ -48,7 +48,8 @@ class Transformer(nn.Module):
             if blk == "t":
                 if self.peg:
                     x = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype,
-                            name=f"layers_{i}_peg")(x, vs, residual=True)
+                            name=f"layers_{i}_peg")(x, vs, residual=True,
+                                                    training=training)
                 x = Attention(
                     dim=self.dim,
                     dim_head=self.dim_head,
