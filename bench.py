@@ -49,7 +49,7 @@ def main():
 
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, 256, 256, 3), jnp.float32) * 0.2
 
-    iters = 20
+    iters = int(os.environ.get("OMNITOK_BENCH_ITERS", "20"))
 
     @jax.jit
     def run(variables, x):
