@@ -102,8 +102,13 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--commitment_weight", type=float, default=0.25)
     p.add_argument("--norm_type", type=str, default="group", choices=["batch", "group"])
     p.add_argument("--fp32_quant", action=argparse.BooleanOptionalAction, default=True,
-                   help="f32 pre-VQ projection + distances on the bf16 path "
-                        "(--no_fp32_quant trades exact indices for speed)")
+                   help="f32 pre-VQ projection dtype on the bf16 path "
+                        "(VQ distances are always computed in f32 — "
+                        "ops/codebook.py; --no_fp32_quant trades exact "
+                        "indices for speed). NOTE: default True diverges "
+                        "from the reference's store_true/False — free "
+                        "on-chip per ABLATION.md, pass --no_fp32_quant to "
+                        "match reference recipes literally)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute path")
     p.add_argument("--fp16", action="store_true",
                    help="accepted for recipe compat; maps to the bf16 path "
@@ -156,6 +161,12 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--recloss_check_thres", type=float, default=None)
     p.add_argument("--resolution_scale", default=None, nargs="+", type=float)
     p.add_argument("--default_root_dir", type=str, default="./runs/omnitokenizer")
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="msgpack: single-file checkpoints (default); orbax: "
+                        "async atomic directory checkpoints with max_to_keep "
+                        "retention (the production analogue of the "
+                        "reference's ModelCheckpoint, vqgan_train.py:101-110)")
     p.add_argument("--pretrained", type=str, default=None)
     p.add_argument("--init_vgen", type=str, default=None)
     p.add_argument("--inflation_pe", action="store_true",
@@ -209,8 +220,13 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--smap_only", action="store_true",
                    help="train on segmentation maps instead of frames")
     p.add_argument("--text_cond", action="store_true",
-                   help="HDF5 with caption strings (HDF5Dataset_text)")
+                   help="HDF5 with caption strings (HDF5Dataset_text); on a "
+                        "coinrun dir: auto/manual captions -> BPE ids "
+                        "(reference get_text_desc, coinrun_data.py:7-14)")
     p.add_argument("--text_seq_len", type=int, default=77)
+    p.add_argument("--text_path", type=str, default=None,
+                   help="JSON of manual captions keyed by clip id "
+                        "(coinrun_data.py:161-170); auto-captions otherwise")
     p.add_argument("--data_path2", type=str, default=None,
                    help="second HDF5 for --smap_cond pairing")
     p.add_argument("--asset_root", type=str, default=None,

@@ -24,16 +24,33 @@ import numpy as np
 from . import args as A
 
 
-def _load_clip(path: str, value_range: str) -> np.ndarray:
+def _load_clip(path: str, value_range: str, frames=None, sampling="center",
+               resolution=None) -> np.ndarray:
     """-> float32 (T, H, W, C) in [0, 1].
 
     Float inputs are interpreted deterministically by --range: 'model'
     ([-0.5, 0.5], this framework's pixel convention) or 'unit' ([0, 1]).
-    A data-driven guess would shift paired clips inconsistently."""
+    A data-driven guess would shift paired clips inconsistently.
+
+    mp4/avi route through the video decoder with the fvd_external.py:31-49
+    semantics: decode resized to `resolution`, then sample `frames` frames
+    at `sampling` (first/last/center)."""
     if path.endswith(".npz"):
         arr = np.load(path)["video"]
     elif path.endswith(".npy"):
         arr = np.load(path)
+    elif path.endswith((".mp4", ".avi", ".webm", ".mkv")):
+        from ..data.video import (_read_frames_imageio, _resize_frames,
+                                  load_video_frames)
+
+        if frames:
+            arr, _ = load_video_frames(path, num_frm=frames,
+                                       strategy=sampling,
+                                       height=resolution, width=resolution)
+        else:
+            arr, _ = _read_frames_imageio(path)
+            if resolution:
+                arr = _resize_frames(arr, resolution, resolution)
     else:  # gif or other imageio-readable clip
         import imageio.v3 as iio
 
@@ -83,6 +100,16 @@ def main(argv=None):
                          "styleganv: shorter-side resize + center crop "
                          "(fvd/styleganv/fvd.py:38-60)")
     ap.add_argument("--max_clips", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None,
+                    help="sample exactly N frames per video clip "
+                         "(fvd_external.py --frames)")
+    ap.add_argument("--sampling", default="center",
+                    choices=["first", "last", "center"],
+                    help="frame-window position when --frames is set "
+                         "(fvd_external.py --sampling)")
+    ap.add_argument("--resolution", type=int, default=None,
+                    help="decode video clips resized to this square size "
+                         "(fvd_external.py: decord VideoReader width/height)")
     ap.add_argument("--range", dest="value_range", default="model",
                     choices=["model", "unit"],
                     help="float input convention: 'model' [-0.5,0.5] "
@@ -125,7 +152,10 @@ def main(argv=None):
         psnrs, ssims = [], []
         gen_u8, gt_u8 = [], []
     for gp, tp in zip(gen_paths[:n], gt_paths[:n]):
-        g, t = _load_clip(gp, args.value_range), _load_clip(tp, args.value_range)
+        g = _load_clip(gp, args.value_range, frames=args.frames,
+                       sampling=args.sampling, resolution=args.resolution)
+        t = _load_clip(tp, args.value_range, frames=args.frames,
+                       sampling=args.sampling, resolution=args.resolution)
         tmin = min(g.shape[0], t.shape[0])
         g, t = g[:tmin], t[:tmin]
         if "psnr" in want:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from functools import partial
 
 import numpy as np
 
@@ -167,7 +168,10 @@ def main(argv=None):
     else:
         _loss = n2n.loss_fn
 
-    @jax.jit
+    # params + opt state donated: updated in place, no per-step HBM copy.
+    # Safe because the loop rebinds both from the step's outputs and the
+    # checkpoint writes read the live (post-step) values via device_get.
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, z_ids, labels, rng):
         rng, sub = jax.random.split(rng)
         (loss, metrics), grads = jax.value_and_grad(
@@ -212,7 +216,12 @@ def main(argv=None):
         x = np.moveaxis(video, -1, 1)
         is_image = x.ndim == 4
         z_ids = n2n.encode_to_z(x, is_image)
-        labels = jnp.asarray(batch.get("label", np.zeros(len(x))), jnp.int32)
+        # condition column: text ids (B, L) when text-conditioned (coinrun
+        # captions / HDF5 text), class ids (B,) otherwise
+        if args.cond_stage_key == "text" and "text" in batch:
+            labels = jnp.asarray(batch["text"], jnp.int32)
+        else:
+            labels = jnp.asarray(batch.get("label", np.zeros(len(x))), jnp.int32)
         with mesh:
             # PP mesh has a ('stage',) axis — microbatches stream through the
             # pipeline from a replicated batch; otherwise batch-shard on data
@@ -222,12 +231,14 @@ def main(argv=None):
             params, opt_state, metrics, rng = train_step(
                 params, opt_state, z_ids, labels, rng)
         logger.log(step, metrics)
-        if step % 3000 == 0 and step > 0:
+        step += 1
+        # post-increment like the final checkpoint below: step_N means
+        # "resume at N" for both kinds, and only process 0 writes.
+        if step % 3000 == 0 and jax.process_index() == 0:
             with open(os.path.join(root, "checkpoints",
                                    f"step_{step:08d}.msgpack"), "wb") as f:
                 f.write(serialization.to_bytes(
                     (jax.device_get(params), jax.device_get(opt_state), step)))
-        step += 1
 
     # final checkpoint: without it a run whose max_steps isn't a multiple of
     # the 3000-step cadence leaves nothing to auto-resume from / evaluate

@@ -87,10 +87,15 @@ def main(argv=None):
             video = video[:, 0]
         x = np.moveaxis(video, -1, 1)  # to torch layout for the public API
 
-        enc = model.encode(x, is_image=is_image)
-        rec = model.decode(enc, is_image=is_image)
-        rec = np.asarray(rec)
-        used_codes.update(np.unique(np.asarray(enc)).tolist())
+        if cfg.use_vae:
+            # VAE mode (vqgan_eval.py:100,151,190): posterior-sampled
+            # roundtrip, and NO usage accounting — the reference never
+            # touches total_usage under use_vae, so Usage prints 0.
+            rec = np.asarray(model.reconstruct(x, is_image=is_image)[0])
+        else:
+            enc = model.encode(x, is_image=is_image)
+            rec = np.asarray(model.decode(enc, is_image=is_image))
+            used_codes.update(np.unique(np.asarray(enc)).tolist())
 
         xin = np.moveaxis(x, 1, -1)
         xre = np.moveaxis(rec, 1, -1)

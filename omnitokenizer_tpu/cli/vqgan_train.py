@@ -68,6 +68,7 @@ def main(argv=None):
         initial_state=state,
         val_batches=iter(val_loader) if val_loader is not None else None,
         wandb_project=args.wandb_project, wandb_config=vars(args),
+        ckpt_backend=args.ckpt_backend,
     )
 
 

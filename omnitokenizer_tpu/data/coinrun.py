@@ -303,7 +303,9 @@ class CoinRunDataset:
 
     def __init__(self, data_folder: str, asset_root: str,
                  sequence_length: int = 17, resolution: int = 256,
-                 train: bool = True, seed: int = 1234):
+                 train: bool = True, seed: int = 1234,
+                 get_text_desc: bool = False, text_seq_len: int = 256,
+                 truncate_captions: bool = True, text_path: str = None):
         self.asset_root = asset_root
         self.sequence_length = sequence_length
         self.resolution = resolution
@@ -312,6 +314,23 @@ class CoinRunDataset:
             os.path.join(r, n) for r, _, fs in os.walk(data_folder)
             for n in fs if n.endswith(".json"))
         self._banks: Dict[str, AssetBank] = {}
+
+        # text conditioning (reference CoinRunDataset get_text_desc=True,
+        # coinrun_data.py:103,373-411): manual annotations from text_path
+        # when present for a clip, auto-captions over the sampled frame
+        # window otherwise; emitted as CLIP-BPE ids padded to text_seq_len.
+        self.get_text_desc = get_text_desc
+        self.text_seq_len = text_seq_len
+        self.truncate_captions = truncate_captions
+        self.text_data = None
+        self._tokenizer = None
+        if get_text_desc:
+            from .text_tokenizer import SimpleTokenizer
+            self._tokenizer = SimpleTokenizer()
+            if text_path:
+                import json as _json
+                with open(text_path) as f:
+                    self.text_data = _json.load(f)
 
     def __len__(self):
         return len(self.files)
@@ -335,4 +354,16 @@ class CoinRunDataset:
             pad = np.zeros((self.sequence_length - seq,) + frames.shape[1:], np.uint8)
             frames = np.concatenate([frames, pad])
         video = frames.astype(np.float32) / 255.0 - 0.5
-        return {"video": video, "label": -1, "path": self.files[idx]}
+        out = {"video": video, "label": -1, "path": self.files[idx]}
+        if self.get_text_desc:
+            key = os.path.splitext(os.path.basename(self.files[idx]))[0]
+            if self.text_data is not None and key in self.text_data:
+                caps = self.text_data[key]
+                cap = caps[0] if len(caps) == 1 else caps[self.rng.randint(len(caps))]
+            else:
+                from .coinrun_text import describe_clip
+                cap = describe_clip(game, start, start + seq)
+            out["text"] = np.asarray(
+                self._tokenizer.tokenize(cap, self.text_seq_len,
+                                         self.truncate_captions), np.int64)
+        return out

@@ -217,7 +217,13 @@ def _special_dataset(args, train: bool):
         asset_root = get("asset_root") or osp.join(path0, "assets")
         return CoinRunDataset(path0, asset_root,
                               sequence_length=args.sequence_length,
-                              resolution=args.resolution, train=train)
+                              resolution=args.resolution, train=train,
+                              # --text_cond on a coinrun dir = the reference's
+                              # CoinRunDataset(get_text_desc=True) route
+                              # (coinrun_data.py:7-14,373-411)
+                              get_text_desc=bool(get("text_cond")),
+                              text_seq_len=get("text_seq_len", 256) or 256,
+                              text_path=get("text_path"))
     if get("vtokens"):
         from .hdf5 import HDF5DatasetVtokens
 

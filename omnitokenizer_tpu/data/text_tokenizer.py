@@ -136,3 +136,20 @@ class SimpleTokenizer:
         eot = self.encoder["<|endoftext|>"]
         ids = [sot] + self.encode(text)[: context_length - 2] + [eot]
         return ids + [pad_id] * (context_length - len(ids))
+
+    def tokenize(self, text: str, context_length: int = 256,
+                 truncate_text: bool = True) -> List[int]:
+        """Reference tokenize semantics (coinrun/tokenizer.py:139-158):
+        [sot] + bpe + [eot], zero-padded; overflow truncates the WRAPPED
+        sequence and force-sets the last slot to eot (vs __call__, which
+        truncates before wrapping)."""
+        sot = self.encoder["<|startoftext|>"]
+        eot = self.encoder["<|endoftext|>"]
+        ids = [sot] + self.encode(text) + [eot]
+        if len(ids) > context_length:
+            if not truncate_text:
+                raise RuntimeError(
+                    f"input is too long for context length {context_length}")
+            ids = ids[:context_length]
+            ids[-1] = eot
+        return ids + [0] * (context_length - len(ids))

@@ -77,6 +77,10 @@ def sample_frame_indices(vlen: int, num_frm: int, strategy: str,
         return np.concatenate([head, tail])
     if strategy == "all":
         return np.arange(vlen)
+    if strategy == "first":  # fvd_external.py:36-37
+        return np.arange(n)
+    if strategy == "last":  # fvd_external.py:39-40
+        return np.arange(vlen - n, vlen)
     raise NotImplementedError(strategy)
 
 

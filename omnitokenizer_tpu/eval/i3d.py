@@ -46,6 +46,53 @@ def max_pool_same(x: jnp.ndarray, ks, strides) -> jnp.ndarray:
     return nn.max_pool(x, tuple(ks), strides=tuple(strides), padding="VALID")
 
 
+class _Conv3d(nn.Module):
+    """3D conv with flax nn.Conv's exact param layout ((kt,kh,kw,I,O) kernel
+    under this module's scope) and a CPU fast path: XLA's CPU Conv3D
+    lowering is ~100x off oneDNN (a naive loop), so on the cpu backend the
+    conv runs as ONE 2D conv over time-taps stacked into channels —
+    x[:, dt::st] slices concatenated on C, kernel reshaped
+    (kh, kw, kt*I, O) — which hits the fast Eigen conv2d path.  Bitwise
+    equivalent contraction order per output element."""
+
+    features: int
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    use_bias: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.stride
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kt, kh, kw, x.shape[-1], self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        x = x.astype(self.dtype)
+        k = k.astype(self.dtype)
+        if jax.default_backend() == "cpu":
+            B, T, H, W, C = x.shape
+            t_out = (T - kt) // st + 1
+            taps = [x[:, dt:dt + (t_out - 1) * st + 1:st] for dt in range(kt)]
+            xc = taps[0] if kt == 1 else jnp.concatenate(taps, axis=-1)
+            xc = xc.reshape(B * t_out, H, W, kt * C)
+            kc = jnp.transpose(k, (1, 2, 0, 3, 4)).reshape(
+                kh, kw, kt * C, self.features)
+            y = jax.lax.conv_general_dilated(
+                xc, kc, (sh, sw), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(B, t_out, y.shape[1], y.shape[2], self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k, (st, sh, sw), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class Unit3D(nn.Module):
     out_channels: int
     kernel: Sequence[int] = (1, 1, 1)
@@ -58,9 +105,8 @@ class Unit3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = _pad_same_3d(x, self.kernel, self.stride)
-        x = nn.Conv(self.out_channels, tuple(self.kernel), strides=tuple(self.stride),
-                    padding="VALID", use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv3d")(x)
+        x = _Conv3d(self.out_channels, tuple(self.kernel), tuple(self.stride),
+                    self.use_bias, dtype=self.dtype, name="conv3d")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
                              dtype=self.dtype, name="bn")(x)
@@ -163,8 +209,26 @@ def load_i3d_variables(path: Optional[str] = None, num_classes: int = 400,
     '<Mixed_*>.{b0,b1a,b1b,b2a,b2b,b3b}.conv3d...', final 'logits.conv3d.*'.
     """
     model = InceptionI3d(num_classes=num_classes)
-    dummy = jnp.zeros((1, 16, 224, 224, 3), jnp.float32)
-    variables = jax.device_get(model.init(jax.random.PRNGKey(seed), dummy))
+    # shape-only init: eval_shape traces without running a 224^2 forward
+    # (an EAGER init dispatches every conv op-by-op — minutes on 1 CPU core
+    # or over the tunneled dev chip); the leaves are then filled/randomized
+    # host-side.
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
+                            jax.ShapeDtypeStruct((1, 16, 224, 224, 3),
+                                                 jnp.float32))
+    rng = np.random.RandomState(seed)
+
+    def init_leaf(path, s):
+        name = str(path[-1].key) if path else ""
+        if name == "kernel":  # lecun_normal over fan_in
+            fan_in = int(np.prod(s.shape[:-1]))
+            return (rng.standard_normal(s.shape) / math.sqrt(fan_in)
+                    ).astype(s.dtype)
+        if name in ("scale", "var"):
+            return np.ones(s.shape, s.dtype)
+        return np.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(init_leaf, shapes)
     if path is None:
         return variables, False
 

@@ -195,7 +195,9 @@ def load_inception_variables(path: Optional[str] = None, seed: int = 0,
     """Convert a torch pt_inception-2015-12-05 state_dict if present."""
     model = FIDInceptionV3()
     dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    variables = jax.device_get(model.init(jax.random.PRNGKey(seed), dummy))
+    # jitted init: one compiled program instead of eager per-op dispatch
+    # (slow on 1 CPU core / over the tunneled dev chip)
+    variables = jax.device_get(jax.jit(model.init)(jax.random.PRNGKey(seed), dummy))
     if path is None:
         return variables, False
 

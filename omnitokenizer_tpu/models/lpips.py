@@ -109,8 +109,10 @@ def load_lpips_variables(
     """
     model = LPIPS()
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    # jitted init: one compiled program instead of eager per-op dispatch
     variables = jax.tree_util.tree_map(
-        np.asarray, jax.device_get(model.init(jax.random.PRNGKey(seed), dummy, dummy)))
+        np.asarray,
+        jax.device_get(jax.jit(model.init)(jax.random.PRNGKey(seed), dummy, dummy)))
     params = dict(variables["params"])
 
     pretrained = True

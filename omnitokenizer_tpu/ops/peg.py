@@ -28,7 +28,7 @@ class PEG(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, video_shape: Tuple[int, int, int, int],
-                 residual: bool = False, training: bool = False) -> jnp.ndarray:
+                 residual: bool = False) -> jnp.ndarray:
         """residual=True returns peg(x) + x fused (bf16 kernel folds the add
         into its output pass)."""
         orig_shape = x.shape

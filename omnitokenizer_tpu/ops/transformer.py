@@ -48,8 +48,7 @@ class Transformer(nn.Module):
             if blk == "t":
                 if self.peg:
                     x = PEG(self.dim, causal=self.peg_causal, dtype=self.dtype,
-                            name=f"layers_{i}_peg")(x, vs, residual=True,
-                                                    training=training)
+                            name=f"layers_{i}_peg")(x, vs, residual=True)
                 x = Attention(
                     dim=self.dim,
                     dim_head=self.dim_head,

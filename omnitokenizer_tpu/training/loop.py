@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from .trainer import TokenizerTrainState, TokenizerTrainer
+from .trainer import TokenizerTrainState, TokenizerTrainer, dealias_state
 
 
 def _cached_by_trainer(fn):
@@ -157,18 +157,40 @@ def train_tokenizer(
     val_steps: int = 8,
     wandb_project: Optional[str] = None,
     wandb_config: Optional[Dict[str, Any]] = None,
+    ckpt_backend: str = "msgpack",
 ):
     """Run the jitted GAN step over a batch stream.  Batches are dicts with
     'video' (B, T, H, W, C) channels-last float32."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     state = initial_state if initial_state is not None else trainer.init_state(seed=seed)
-    ckpt = find_latest_checkpoint(root_dir) if resume else None
-    if ckpt:
-        print(f"auto-resuming from {ckpt}")
-        state = load_state(ckpt, state)
+    orbax = None
+    if ckpt_backend == "orbax":
+        from ..utils.orbax_io import OrbaxCheckpointer
 
-    step_fn = jax.jit(trainer.train_step)
+        orbax = OrbaxCheckpointer(root_dir)
+        latest = orbax.latest_step() if resume else None
+        if latest is not None:
+            print(f"auto-resuming from orbax step {latest}")
+            state = orbax.restore(jax.device_get(state), step=latest)
+    else:
+        ckpt = find_latest_checkpoint(root_dir) if resume else None
+        if ckpt:
+            print(f"auto-resuming from {ckpt}")
+            state = load_state(ckpt, state)
+
+    def write_ckpt(step_label: int, st: TokenizerTrainState):
+        if orbax is not None:
+            orbax.save(step_label, st)  # async: file write overlaps training
+        else:
+            save_state(os.path.join(root_dir, "checkpoints",
+                                    f"step_{step_label:08d}.msgpack"), st)
+
+    # donated step: params + both opt states update in place (no per-step
+    # params+opt HBM copy). The loop only ever holds the newest state, so
+    # donating the previous one is safe; dealias first (see trainer).
+    step_fn = trainer.jit_train_step()
+    state = dealias_state(state)
     logger = MetricsLogger(root_dir, log_every,
                            wandb_project=wandb_project, wandb_config=wandb_config)
 
@@ -205,8 +227,7 @@ def train_tokenizer(
         logger.log(step, metrics)
 
         if step % ckpt_every == 0 and step > start:
-            save_state(os.path.join(root_dir, "checkpoints",
-                                    f"step_{step:08d}.msgpack"), state)
+            write_ckpt(step, state)
 
         # validation pass (reference validation_step, omnitokenizer.py:608-618)
         if val_it is not None and step > start and step % val_every == 0:
@@ -244,6 +265,8 @@ def train_tokenizer(
             dump_recon_grid(root_dir, "train", step,
                             jax.device_get(video), jax.device_get(recons))
 
-    save_state(os.path.join(root_dir, "checkpoints",
-                            f"step_{int(state.step):08d}.msgpack"), state)
+    write_ckpt(int(state.step), state)
+    if orbax is not None:
+        orbax.wait()
+        orbax.close()
     return state

@@ -91,6 +91,26 @@ def _make_opt(schedule, clip: Optional[float], accum: int) -> optax.GradientTran
     return tx
 
 
+def dealias_state(state):
+    """Copy any pytree leaf that shares a device buffer with an earlier leaf.
+
+    Donation (`jit_train_step(donate=True)`) requires every donated input
+    buffer to appear at most once in the argument; fresh inits and msgpack
+    restores can alias (e.g. identical zero tables deduped by the runtime).
+    Copies only duplicates, so the one-time cost is tiny.
+    """
+    seen = set()
+
+    def f(x):
+        if isinstance(x, jax.Array):
+            if id(x) in seen:
+                return jnp.array(x, copy=True)
+            seen.add(id(x))
+        return x
+
+    return jax.tree_util.tree_map(f, state)
+
+
 class TokenizerTrainer:
     """Builds state + the jitted train_step for a given config triple."""
 
@@ -371,9 +391,18 @@ class TokenizerTrainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------
-    def jit_train_step(self, mesh=None):
+    def jit_train_step(self, mesh=None, donate: bool = True):
         """Return a jitted train_step; with a mesh, batch is data-sharded and
-        state replicated (GSPMD inserts the collectives)."""
-        # NOTE: no buffer donation yet — freshly-initialized states contain
-        # aliased zero/copied buffers which XLA rejects when donated twice.
+        state replicated (GSPMD inserts the collectives).
+
+        `donate=True` donates the state argument so params + both optimizer
+        states are updated in place — without it every step pays a full
+        params+opt-state HBM copy. Callers must not reuse a state object
+        after passing it in (the loop/CLIs thread `state = step(state, v)`
+        and never touch the old one). Pass any state through
+        `dealias_state` first: a freshly-built or deserialized state can
+        hold the same buffer at two leaves, which XLA rejects when donated.
+        """
+        if donate:
+            return jax.jit(self.train_step, donate_argnums=0)
         return jax.jit(self.train_step)

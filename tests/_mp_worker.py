@@ -86,7 +86,24 @@ def main():
         lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
         state)
 
-    new_state, metrics = jax.jit(trainer.train_step)(state, video)
+    # AOT-compile BEFORE touching any cross-process collective.  On a
+    # 1-core host the two workers compile the train step serially (~3 min
+    # skew); Gloo's context init times out after 30 s if one rank executes
+    # while the other is still compiling.  Compilation itself is local and
+    # deterministic, so: compile, then file-barrier, then execute — the
+    # first collective is entered by both ranks within milliseconds.
+    compiled = jax.jit(trainer.train_step).lower(state, video).compile()
+
+    import time
+    open(os.path.join(out_dir, f"compiled{pid}"), "w").close()
+    deadline = time.time() + 1200
+    while not all(os.path.exists(os.path.join(out_dir, f"compiled{p}"))
+                  for p in range(jax.process_count())):
+        if time.time() > deadline:
+            raise TimeoutError("peer never finished compiling")
+        time.sleep(0.2)
+
+    new_state, metrics = compiled(state, video)
 
     def fetch(tree):
         return {"/".join(map(str, path)): np.asarray(leaf.addressable_data(0))

@@ -44,13 +44,17 @@ MODEL_FLAGS = [
     "--heads", "4", "--enc_block", "tt", "--dec_block", "tt",
     "--patch_size", "8", "--temporal_patch_size", "4",
     "--resolution", str(RES), "--sequence_length", str(SEQ),
+    # the reference parser default is `group`, which crashes VQGAN's
+    # image-discriminator construction at these tiny widths
+    # (base.py:540 GroupNorm(32, 1)); every recipe uses batch.
+    "--norm_type", "batch",
 ]
 
 SMALL = dict(
     embedding_dim=64, n_codes=N_CODES, codebook_dim=8,
     spatial_depth=2, temporal_depth=2, dim_head=16, heads=4,
     enc_block="tt", dec_block="tt", patch_size=8, temporal_patch_size=4,
-    resolution=RES, sequence_length=SEQ,
+    resolution=RES, sequence_length=SEQ, norm_type="batch",
 )
 
 
@@ -113,11 +117,16 @@ def _run_our_cli(argv):
 
 
 @pytest.mark.slow
-def test_video_branch_fvd_and_usage_number_parity(tmp_path):
+def test_video_branch_fvd_and_usage_number_parity(tmp_path, monkeypatch):
     """reference vqgan_eval.py:102-167 (DecordVideoDataset -> center-sample
     -> VQGAN forward -> get_fvd_logits MAX_BATCH chunks -> frechet_distance
     -> usage) == our cli/vqgan_eval.py video mode, same printed numbers."""
     install_data_stubs()
+    # the reference's video forward hardcodes .cuda() on its random frame
+    # pick (omnitokenizer.py:401) even under log_image=True; run it on CPU
+    # like test_reference_parity_train.py does.
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
     ref_data = ref_module("data")
     rutils = ref_module("utils")
     rfvd = importlib.import_module("OmniTokenizer.fvd.fvd")
@@ -179,9 +188,12 @@ def test_image_branch_fid_and_usage_number_parity(tmp_path, monkeypatch):
     cli/vqgan_eval.py image mode, same printed numbers."""
     install_data_stubs()
     ref_data = ref_module("data")
+    # fid_score.py:54 does `from pytorch_fid.inception import InceptionV3`
+    # at import time — the stub-backed inception module must be registered
+    # BEFORE fid_score is imported.
     inc_mod = ref_pytorch_fid_inception()
-    fid_score = importlib.import_module("pytorch_fid.fid_score")
     sys.modules.setdefault("pytorch_fid.inception", inc_mod)
+    fid_score = importlib.import_module("pytorch_fid.fid_score")
 
     from PIL import Image
 
@@ -252,3 +264,186 @@ def test_image_branch_fid_and_usage_number_parity(tmp_path, monkeypatch):
     assert result["fid"] == pytest.approx(fid_ref, rel=0.05, abs=1.0), (
         result["fid"], fid_ref)
     assert result["codebook_usage"] == pytest.approx(usage_ref, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_video_branch_vae_mode_fvd_parity(tmp_path, monkeypatch):
+    """VAE-mode eval branch (VERDICT r3 item 5): reference vqgan_eval.py
+    use_vae conditionals (:100,151,190) — posterior-SAMPLED forward feeds
+    the FVD pipeline and usage is never accumulated.  The posterior draw is
+    the only cross-framework RNG in the flow, so both samplers are pinned
+    to the mean (torch.randn vs jax.random.normal can't agree); everything
+    else — dataset sampling, forward, chunking, Fréchet — runs for real."""
+    install_data_stubs()
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    vae_mod = importlib.import_module("OmniTokenizer.modules.vae")
+    monkeypatch.setattr(vae_mod.DiagonalGaussianDistribution, "sample",
+                        lambda self: self.mean)
+    from omnitokenizer_tpu.ops import gaussian as our_gaussian
+    monkeypatch.setattr(our_gaussian.DiagonalGaussian, "sample",
+                        lambda self, key: self.mean)
+
+    ref_data = ref_module("data")
+    rutils = ref_module("utils")
+    rfvd = importlib.import_module("OmniTokenizer.fvd.fvd")
+    pi3d = importlib.import_module("OmniTokenizer.fvd.pytorch_i3d")
+    om = ref_module("omnitokenizer")
+
+    vid_root = _write_videos(tmp_path / "vids")
+
+    args = make_vqgan_args(**dict(SMALL, use_vae=True, kl_weight=1e-6))
+    torch.manual_seed(0)
+    ref_model = om.VQGAN(args).eval()
+    ref_model.codebook._need_init = False
+    ckpt = str(tmp_path / "ref_vae.ckpt")
+    with open(ckpt, "wb") as f:
+        f.write(lightning_ckpt_bytes(ref_model))
+
+    torch.manual_seed(3)
+    i3d = pi3d.InceptionI3d(400, in_channels=3).eval()
+    i3d_pt = str(tmp_path / "i3d.pt")
+    torch.save(i3d.state_dict(), i3d_pt)
+
+    # ---- the reference pipeline, verbatim semantics --------------------
+    ds = ref_data.DecordVideoDataset(
+        str(vid_root), data_list=None, fps=None, sequence_length=SEQ,
+        train=False, resolution=RES)
+    loader = torch.utils.data.DataLoader(ds, batch_size=2, shuffle=False,
+                                         num_workers=0)
+    real_embeddings, fake_embeddings = [], []
+    with torch.no_grad():
+        for batch in loader:
+            _, _, x, x_recons, vq_output = ref_model(batch["video"],
+                                                     log_image=True)
+            assert vq_output is None  # use_vae branch, omnitokenizer.py:410
+            real_videos = batch["video"] + 0.5
+            fake_videos = torch.clamp(x_recons.detach() + 0.5, 0, 1)
+            real_embeddings.append(rfvd.get_fvd_logits(
+                rutils.shift_dim(real_videos * 255, 1, -1).byte().data.numpy(),
+                i3d=i3d, device="cpu"))
+            fake_embeddings.append(rfvd.get_fvd_logits(
+                rutils.shift_dim(fake_videos * 255, 1, -1).byte().data.numpy(),
+                i3d=i3d, device="cpu"))
+    fvd_ref = float(rfvd.frechet_distance(
+        torch.cat(fake_embeddings, 0), torch.cat(real_embeddings, 0)))
+
+    # ---- our CLI on the same on-disk dataset ---------------------------
+    save = tmp_path / "ours"
+    _run_our_cli(MODEL_FLAGS + [
+        "--use_vae", "--kl_weight", "1e-6",
+        "--vqgan_ckpt", ckpt, "--inference_type", "video",
+        "--loader_type", "sep", "--data_path", str(vid_root),
+        "--train_datalist", "none", "--val_datalist", "none",
+        "--batch_size", "2", "--num_workers", "1",
+        "--save", str(save), "--i3d_path", i3d_pt,
+    ])
+    result = json.load(open(save / "result.json"))
+
+    assert result["fvd"] == pytest.approx(fvd_ref, rel=0.02, abs=0.5), (
+        result["fvd"], fvd_ref)
+    # no usage accounting in VAE mode on either side
+    assert result["codebook_usage"] == 0.0
+
+
+@pytest.mark.slow
+def test_generation_metrics_flow_fvd_parity(tmp_path, monkeypatch):
+    """Generation-eval flow (VERDICT r3 item 5): the reference's
+    transformer_eval outputs are scored by evaluation/fvd_external.py:61-87
+    (decord load -> center-sample --frames at --resolution ->
+    common_metrics calculate_fvd videogpt) — our analogue is
+    cli/metrics_eval --gen_dir/--gt_dir on the same clip directories.
+    Same mp4 trees + same (random, converted) I3D weights must print the
+    same full-length FVD."""
+    install_data_stubs()
+    # seed the vendored package WITHOUT executing its __init__.py (which
+    # imports calculate_lpips -> `import lpips` + an eager net='alex'
+    # download; calculate_fvd itself needs none of that)
+    import importlib.util as ilu
+    import types
+
+    CM_DIR = "/root/reference/evaluation/common_metrics_on_video_quality"
+    if "common_metrics_on_video_quality" not in sys.modules:
+        pkg = types.ModuleType("common_metrics_on_video_quality")
+        pkg.__path__ = [CM_DIR]
+        sys.modules["common_metrics_on_video_quality"] = pkg
+    vfvd = importlib.import_module(
+        "common_metrics_on_video_quality.fvd.videogpt.fvd")
+    vpi3d = importlib.import_module(
+        "common_metrics_on_video_quality.fvd.videogpt.pytorch_i3d")
+    spec = ilu.spec_from_file_location(
+        "common_metrics_on_video_quality.calculate_fvd",
+        os.path.join(CM_DIR, "calculate_fvd.py"))
+    cm = ilu.module_from_spec(spec)
+    sys.modules.setdefault("common_metrics_on_video_quality.calculate_fvd", cm)
+    spec.loader.exec_module(cm)
+    # fvd_external does `from common_metrics_on_video_quality import
+    # calculate_fvd` — expose the FUNCTION on the package
+    sys.modules["common_metrics_on_video_quality"].calculate_fvd = cm.calculate_fvd
+
+    spec = ilu.spec_from_file_location(
+        "ref_fvd_external", "/root/reference/evaluation/fvd_external.py")
+    fvd_external = ilu.module_from_spec(spec)
+    spec.loader.exec_module(fvd_external)
+
+    # gt and gen clip dirs, authored AT the eval resolution (the decord
+    # stub's cv2 resize vs our libav swscale differ at the last bit)
+    gt_root = _write_videos(tmp_path / "gt", n=4)
+    gt_dir = str(gt_root / "test" / "classA")
+    gen_root = _write_videos(tmp_path / "gen", n=4)
+    # perturb the gen clips' source seed by re-authoring with other content
+    import cv2
+
+    rng = np.random.RandomState(1234)
+    for i in range(4):
+        path = os.path.join(str(gen_root / "test" / "classA"), f"clip{i}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0,
+                             (RES, RES))
+        base = rng.rand(8, 8, 3)
+        for t in range(25):
+            img = np.clip(
+                cv2.resize(base + 0.3 * np.cos(t / 2.0) * rng.rand(8, 8, 3),
+                           (RES, RES), interpolation=cv2.INTER_CUBIC), 0, 1)
+            vw.write((img[:, :, ::-1] * 255).astype(np.uint8))
+        vw.release()
+    gen_dir = str(gen_root / "test" / "classA")
+
+    torch.manual_seed(5)
+    i3d = vpi3d.InceptionI3d(400, in_channels=3).eval()
+    i3d_pt = str(tmp_path / "i3d.pt")
+    torch.save(i3d.state_dict(), i3d_pt)
+    monkeypatch.setattr(vfvd, "load_i3d_pretrained",
+                        lambda device=None: torch.nn.DataParallel(i3d))
+
+    # ---- reference flow: fvd_external.load_videos + calculate_fvd ------
+    # 12 frames (even -> the other center-window branch than the VQ test's
+    # 17) keeps calculate_fvd's clip_timestamp sweep (10..F) to 3 rounds
+    F = 12
+    import random as _random
+
+    _random.seed(0)
+    gt_videos = fvd_external.load_videos(gt_dir, has_subset=False,
+                                         resolution=RES, frames=F,
+                                         pos="center", num_videos=-1)
+    _random.seed(0)
+    gen_videos = fvd_external.load_videos(gen_dir, has_subset=False,
+                                          resolution=RES, frames=F,
+                                          pos="center", num_videos=-1)
+    res = cm.calculate_fvd(gt_videos, gen_videos, device="cpu",
+                           method="videogpt")
+    fvd_ref = float(res["value"][F])  # the full-length headline number
+
+    # ---- our CLI over the same directories -----------------------------
+    from omnitokenizer_tpu.cli import metrics_eval
+
+    save = str(tmp_path / "ours.json")
+    metrics_eval.main([
+        "--gen_dir", gen_dir, "--gt_dir", gt_dir,
+        "--frames", str(F), "--sampling", "center",
+        "--resolution", str(RES),
+        "--metrics", "fvd", "--fvd_method", "videogpt",
+        "--i3d_path", i3d_pt, "--save", save,
+    ])
+    result = json.load(open(save))
+    assert result["fvd"] == pytest.approx(fvd_ref, rel=0.02, abs=0.5), (
+        result["fvd"], fvd_ref)
