@@ -113,16 +113,22 @@ def _timed_steps(step, state, batch, iters):
     """Warm up, then time `iters` sequential donated steps wall-clock.
 
     The donated state threads through the loop exactly as training does;
-    the final device_get is the completion barrier (valid on async/tunneled
-    backends because step N+1 consumes step N's buffers on-device)."""
+    the final VALUE FETCH is the completion barrier (valid on async/tunneled
+    backends because step N+1 consumes step N's buffers on-device;
+    block_until_ready returns at enqueue time on the tunneled dev chip and
+    would time dispatch, not execution)."""
     import jax
 
+    def fetch(m):
+        leaf = jax.tree_util.tree_leaves(m)[0]
+        return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
     state, m = step(state, batch)          # compile + warmup
-    jax.block_until_ready(m)
+    fetch(m)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+    fetch(m)
     dt = (time.perf_counter() - t0) / iters
     return dt, state
 
@@ -145,7 +151,8 @@ def _train_gan():
                      warmup_lr_init=1e-5, ema_advances_per_step=2)
     trainer = TokenizerTrainer(cfg, loss, tc)
 
-    B = int(os.environ.get("OMNITOK_BENCH_BATCH", "2"))
+    # B=4 beats B=2 on-chip (184.5 vs 181.8 f/s, round-5 A/B in PERF.md)
+    B = int(os.environ.get("OMNITOK_BENCH_BATCH", "4"))
     T = 17
     state = dealias_state(trainer.init_state(seed=0, image_size=256, frames=T))
     step = trainer.jit_train_step()
@@ -183,7 +190,9 @@ def _train_lm():
     # scripts/lm_train/train_imagenet_class.sh flagship: 24L 16H 1536,
     # 1024 image tokens + 1 class token
     cfg = GPTConfig(vocab_size=9219, block_size=1025, n_layer=24, n_head=16,
-                    n_embd=1536, dtype=jnp.bfloat16)
+                    n_embd=1536, dtype=jnp.bfloat16,
+                    flash_attention=os.environ.get(
+                        "OMNITOK_BENCH_NO_FLASH") != "1")
     model = GPT(cfg)
     B = int(os.environ.get("OMNITOK_BENCH_BATCH", "8"))
     L = cfg.block_size
@@ -201,7 +210,11 @@ def _train_lm():
         return optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), tgt).mean()
 
-    @jax.jit
+    from functools import partial
+
+    # donate the carry like the production path: without it every timed
+    # step pays a full params+AdamW-state HBM copy (ADVICE r4)
+    @partial(jax.jit, donate_argnums=0)
     def step(carry, ids):
         p, o = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, ids)
@@ -212,11 +225,11 @@ def _train_lm():
     iters = int(os.environ.get("OMNITOK_BENCH_ITERS", "10"))
     carry = (params, opt_state)
     carry, loss = step(carry, ids)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch = completion barrier (see _timed_steps)
     t0 = time.perf_counter()
     for _ in range(iters):
         carry, loss = step(carry, ids)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     flops = _xla_flops(step.lower(carry, ids).compile())

@@ -223,7 +223,10 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="HDF5 with caption strings (HDF5Dataset_text); on a "
                         "coinrun dir: auto/manual captions -> BPE ids "
                         "(reference get_text_desc, coinrun_data.py:7-14)")
-    p.add_argument("--text_seq_len", type=int, default=77)
+    p.add_argument("--text_seq_len", type=int, default=None,
+                   help="caption token length; defaults per dataset family "
+                        "like the reference: 77 for HDF5/CLIP text, 256 for "
+                        "coinrun (its CoinRunDataset default)")
     p.add_argument("--text_path", type=str, default=None,
                    help="JSON of manual captions keyed by clip id "
                         "(coinrun_data.py:161-170); auto-captions otherwise")

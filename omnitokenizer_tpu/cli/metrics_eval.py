@@ -44,9 +44,15 @@ def _load_clip(path: str, value_range: str, frames=None, sampling="center",
                                   load_video_frames)
 
         if frames:
-            arr, _ = load_video_frames(path, num_frm=frames,
-                                       strategy=sampling,
-                                       height=resolution, width=resolution)
+            arr, valid = load_video_frames(path, num_frm=frames,
+                                           strategy=sampling,
+                                           height=resolution, width=resolution)
+            if not valid.all():
+                # fvd_external.py asserts len(vr) >= frames; padding black
+                # frames would silently corrupt PSNR/SSIM/FVD (ADVICE r4)
+                raise ValueError(
+                    f"{path}: only {int(valid.sum())} decodable frames "
+                    f"< --frames {frames}")
         else:
             arr, _ = _read_frames_imageio(path)
             if resolution:
@@ -69,7 +75,7 @@ def _load_clip(path: str, value_range: str, frames=None, sampling="center",
 
 
 def _clips(d: str, limit):
-    paths = sorted(p for ext in ("npz", "npy", "gif", "mp4", "avi")
+    paths = sorted(p for ext in ("npz", "npy", "gif", "mp4", "avi", "webm", "mkv")
                    for p in glob.glob(os.path.join(d, f"*.{ext}")))
     return paths[:limit] if limit else paths
 

@@ -196,6 +196,11 @@ class GPTConfig:
     # (ops/int8.py) instead of the f32/bf16 Dense params — halves decode
     # weight bandwidth and uses the MXU's native int8 rate
     int8_decode: bool = False
+    # training forward (cache=None): route causal attention through the
+    # streaming flash kernel on TPU — the materialized (B,H,T,T) f32 score
+    # tensors (512 MB each at B=8/T=1024) OOM a 16 GB chip at the flagship
+    # batch; flash keeps scores in VMEM fwd AND bwd (custom vjp)
+    flash_attention: bool = True
 
 
 @dataclass(frozen=True)

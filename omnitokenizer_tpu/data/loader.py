@@ -222,7 +222,7 @@ def _special_dataset(args, train: bool):
                               # CoinRunDataset(get_text_desc=True) route
                               # (coinrun_data.py:7-14,373-411)
                               get_text_desc=bool(get("text_cond")),
-                              text_seq_len=get("text_seq_len", 256) or 256,
+                              text_seq_len=get("text_seq_len") or 256,
                               text_path=get("text_path"))
     if get("vtokens"):
         from .hdf5 import HDF5DatasetVtokens
@@ -252,7 +252,7 @@ def _special_dataset(args, train: bool):
 
         return HDF5DatasetText(path0, args.sequence_length, train=train,
                                resolution=args.resolution,
-                               text_len=get("text_seq_len", 77))
+                               text_len=get("text_seq_len") or 77)
     if path0.endswith((".h5", ".hdf5")):
         from .hdf5 import HDF5Dataset
 

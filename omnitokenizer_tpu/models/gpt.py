@@ -31,6 +31,15 @@ from ..ops.precision import mm_precision
 NEG_INF = -1e9
 
 
+def _flash_ok(cfg: GPTConfig, seq_len: int, dtype) -> bool:
+    """Gate for the streaming flash-attention kernel in the full (training /
+    teacher-forcing) forward: TPU backend, bf16 compute, and a sequence long
+    enough to tile (T pads to the 128 block grid; short prefills and the
+    f32 oracle-parity path keep the materialized XLA math)."""
+    return (cfg.flash_attention and dtype == jnp.bfloat16
+            and seq_len >= 256 and jax.default_backend() == "tpu")
+
+
 class TransformerBlock(nn.Module):
     cfg: GPTConfig
 
@@ -91,13 +100,43 @@ class TransformerBlock(nn.Module):
         scale = 1.0 / float(np.sqrt(hd))
 
         if cache is None:
-            sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
-                             preferred_element_type=jnp.float32) * scale
-            row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-            sim = jnp.where(col > row, NEG_INF, sim)
-            attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
-            y = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=prec)
+            if _flash_ok(cfg, T, q.dtype):
+                # streaming kernel: O(T) memory fwd+bwd instead of the
+                # (B,H,T,T) f32 score tensor (512 MB at B=8/T=1024 — the
+                # materialized path OOMs flagship LM training on 16 GB).
+                # T pads to the 128 block grid; tail keys sit ABOVE every
+                # real query's diagonal so causal masking excludes them,
+                # and the garbage tail query rows are sliced off.  Block
+                # size dominates kernel throughput — the library default
+                # 128 is 2.2-2.4x off the largest tile that divides the
+                # padded length (on-chip: 12.3 -> 5.1 ms fwd+bwd at
+                # T=1024/block 512; 14.7 -> 6.8 ms at T=1152/block 384).
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    BlockSizes, flash_attention)
+
+                Tp = -(-T // 128) * 128
+                blk = next(b for b in (512, 384, 256, 128) if Tp % b == 0)
+                bs = BlockSizes(
+                    block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                    block_q_major_dkv=blk, block_k_major_dkv=blk,
+                    block_k_dkv=blk, block_q_dkv=blk,
+                    block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+                qp, kp, vp = (
+                    (jnp.pad(t, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+                     if Tp != T else t)
+                    for t in (q, k, v.astype(q.dtype)))
+                y = flash_attention(qp, kp, vp, causal=True, sm_scale=scale,
+                                    block_sizes=bs)
+                if Tp != T:
+                    y = y[:, :, :T]
+            else:
+                sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,
+                                 preferred_element_type=jnp.float32) * scale
+                row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+                sim = jnp.where(col > row, NEG_INF, sim)
+                attn = jax.nn.softmax(sim, axis=-1).astype(cfg.dtype)
+                y = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=prec)
             new_cache = None
         else:
             k_cache, v_cache = cache  # (B, H, block, hd)

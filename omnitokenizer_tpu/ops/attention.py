@@ -68,6 +68,14 @@ def sdpa(
     if not training and mha_supported(q, bias, causal):
         return mha_pallas(q, k, v, scale, causal)
 
+    # NOTE (round-5 on-chip A/B, PERF.md): routing this TRAINING path
+    # through the streaming flash kernel LOSES on the tokenizer GAN step —
+    # 181.8 -> 158.2 f/s at B=2, 184.5 -> 153.8 at B=4 — because dim_head
+    # 64 fills only half the kernel's 128-lane tiles while XLA's
+    # materialized math fuses into the neighbouring projections.  The LM
+    # keeps flash (models/gpt.py): at T=1024 the f32 scores OOM, and its
+    # dim_head 96 wastes less of the tile.
+
     fast = q.dtype == jnp.bfloat16
     prec = None if fast else jax.lax.Precision.HIGHEST
     sim = jnp.einsum("bhid,bhjd->bhij", q, k, precision=prec,

@@ -101,11 +101,21 @@ def dealias_state(state):
     """
     seen = set()
 
+    def _buf_key(x):
+        # two distinct jax.Array objects can share one underlying buffer
+        # (e.g. duplicated outputs of a jitted init/restore); compare the
+        # device buffer, not the Python object (ADVICE r4)
+        try:
+            return x.unsafe_buffer_pointer()
+        except Exception:
+            return id(x)
+
     def f(x):
         if isinstance(x, jax.Array):
-            if id(x) in seen:
+            k = _buf_key(x)
+            if k in seen:
                 return jnp.array(x, copy=True)
-            seen.add(id(x))
+            seen.add(k)
         return x
 
     return jax.tree_util.tree_map(f, state)
