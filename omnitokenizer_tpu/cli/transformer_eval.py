@@ -58,9 +58,11 @@ def build_parser():
     p.add_argument("--model_parallel", type=int, default=1,
                    help="shard decode over a ('data','model') mesh: Megatron "
                         "param shards + head-sharded KV caches (parallel/tp)")
-    p.add_argument("--decode_bucket", type=int, default=512,
+    p.add_argument("--decode_bucket", type=int, default=128,
                    help="segmented attention windows for long AR decode "
-                        "(0 = full-window every step)")
+                        "(0 = full-window every step); 128 is the measured "
+                        "optimum at both image (1024-tok) and video "
+                        "(5120-tok) scale — round-5 sweep in PERF.md")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--save_as", type=str, default="png", choices=["png", "mp4", "npz"])
     return p

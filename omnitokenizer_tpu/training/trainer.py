@@ -136,10 +136,15 @@ class TokenizerTrainer:
             use_sigmoid=loss_cfg.sigmoid_in_disc,
             activation=loss_cfg.activation_in_disc,
             apply_noise=loss_cfg.apply_noise,
+            # aux models follow the generator's compute dtype: a bf16 run
+            # with f32 discriminator/LPIPS convs pays ~4x MXU time on their
+            # fwd+bwd (round-5 trace: the f32 LPIPS VGG dominated the GAN
+            # step); params stay f32 either way (flax dtype semantics)
+            dtype=cfg.dtype,
         )
         self.image_disc = NLayerDiscriminator(**dk)
         self.video_disc = NLayerDiscriminator3D(**dk)
-        self.lpips = LPIPS()
+        self.lpips = LPIPS(dtype=cfg.dtype)
         self.opt_g_tx = _make_opt(_g_schedule(train_cfg), train_cfg.grad_clip_val,
                                   train_cfg.grad_accumulates)
         self.opt_d_tx = _make_opt(_d_schedule(train_cfg), train_cfg.grad_clip_val_disc,
