@@ -124,7 +124,9 @@ def main(argv=None):
         # (transformer_eval.py:93-134)
         from ..data.loader import VideoData
 
-        loader = VideoData(args, train=False)
+        # one finite pass like the reference's val loader (epochs=1); the
+        # n_sample bound below may stop earlier
+        loader = VideoData(args, train=False, epochs=1)
         sampler = n2n.make_frame_prediction_sampler(
             lt, prefix_latent_frames=2, temperature=args.temperature,
             top_k=args.top_k, top_p=args.top_p,

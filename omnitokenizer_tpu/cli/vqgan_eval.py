@@ -62,7 +62,10 @@ def main(argv=None):
     cfg = A.tokenizer_config_from(args)
     model = OmniTokenizerVQGAN.load_from_checkpoint(args.vqgan_ckpt, cfg=cfg)
 
-    loader = VideoData(args, train=args.train)
+    # epochs=1: the reference eval iterates its finite torch DataLoader
+    # exactly once, in order, tail batch included (vqgan_eval.py:95-101) —
+    # our DataLoader cycles forever by default (the training contract)
+    loader = VideoData(args, train=args.train, epochs=1)
     is_image = args.inference_type == "image"
 
     if args.dataset:

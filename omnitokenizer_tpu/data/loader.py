@@ -13,6 +13,7 @@ random dataset choice (`sample_ratio`) or forced alternation.
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional, Sequence
@@ -62,12 +63,12 @@ class DataLoader:
                  seed: int = 1234, drop_last: bool = True,
                  num_prefetch: int = 4, num_workers: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 worker_mode: str = "thread"):
+                 worker_mode: str = "thread", epochs: Optional[int] = None):
         if len(dataset) == 0:
             raise ValueError("DataLoader got an empty dataset — check data_folder/"
                              "data_list (video datasets walk '<root>/train|test' "
                              "when no list is given)")
-        if len(dataset) < batch_size * process_count:
+        if drop_last and len(dataset) < batch_size * process_count:
             raise ValueError(
                 f"dataset has {len(dataset)} samples < batch {batch_size} x "
                 f"{process_count} processes; with drop_last this yields no batches")
@@ -82,10 +83,18 @@ class DataLoader:
         self.process_count = process_count
         assert worker_mode in ("thread", "process"), worker_mode
         self.worker_mode = worker_mode
+        # None = cycle epochs forever (the TRAINING iterator contract: the
+        # loop and validation passes pull `next()` for the whole run).
+        # A finite count makes `iter()` terminate — eval CLIs pass epochs=1
+        # to reproduce the reference's one-pass torch-DataLoader semantics
+        # (vqgan_eval.py:102,170 iterates its finite loader exactly once).
+        self.epochs = epochs
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
-        while True:
+        epoch = 0
+        while self.epochs is None or epoch < self.epochs:
+            epoch += 1
             order = self.rng.permutation(n) if self.shuffle else np.arange(n)
             order = order[self.process_index::self.process_count]
             for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
@@ -103,12 +112,24 @@ class DataLoader:
         lock = threading.Lock()
         stop = threading.Event()
 
+        done = object()  # per-worker end-of-stream sentinel (finite epochs)
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 with lock:
                     try:
                         idxs = next(idx_stream)
                     except StopIteration:
+                        put(done)
                         return
                 try:
                     batch = _collate([self.dataset[int(i)] for i in idxs])
@@ -116,20 +137,20 @@ class DataLoader:
                     if not stop.is_set():
                         q.put(e)
                     return
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                if not put(batch):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
-            while True:
+            live = len(threads)
+            while live:
                 item = q.get()
+                if item is done:
+                    live -= 1
+                    continue
                 if isinstance(item, BaseException):
                     raise item
                 yield item
@@ -162,11 +183,13 @@ class DataLoader:
         with ctx.Pool(self.num_workers, initializer=_proc_init,
                       initargs=(pickle.dumps(self.dataset),)) as pool:
             pending: deque = deque()
-            for _ in range(window):
-                pending.append(pool.apply_async(_proc_fetch, (next(idx_stream),)))
-            while True:
+            for idxs in itertools.islice(idx_stream, window):
+                pending.append(pool.apply_async(_proc_fetch, (idxs,)))
+            while pending:
                 batch = pending.popleft().get()
-                pending.append(pool.apply_async(_proc_fetch, (next(idx_stream),)))
+                nxt = next(idx_stream, None)
+                if nxt is not None:
+                    pending.append(pool.apply_async(_proc_fetch, (nxt,)))
                 yield batch
 
     def steps_per_epoch(self) -> int:
@@ -198,7 +221,12 @@ class JointLoader:
                 k = step % len(iters)
             else:
                 k = int(self.rng.choice(len(iters), p=self.probs))
-            yield next(iters[k])
+            # training loaders cycle forever; a member only exhausts when it
+            # was built with finite epochs (eval) — stop the joint stream then
+            batch = next(iters[k], None)
+            if batch is None:
+                return
+            yield batch
             step += 1
 
 
@@ -262,12 +290,18 @@ def _special_dataset(args, train: bool):
     return None
 
 
-def VideoData(args, train: bool = True, process_index: int = 0, process_count: int = 1):
+def VideoData(args, train: bool = True, process_index: int = 0,
+              process_count: int = 1, epochs: Optional[int] = None):
     """Build loaders from an argparse-style namespace mirroring
     VideoData.add_data_specific_args (data.py:551-577): loader_type
     'sep'/'joint', data_path / train_datalist / val_datalist lists,
     per-dataset batch_size; special dataset families route as in the
-    reference's 'sep' branch (data.py:430-489)."""
+    reference's 'sep' branch (data.py:430-489).
+
+    `epochs=None` (default) cycles forever — the training/validation
+    contract.  Eval CLIs pass epochs=1 for the reference's one-pass
+    finite-DataLoader semantics (in-order, tail batch INCLUDED like torch
+    drop_last=False)."""
     from .image import ImageDataset
     from .video import VideoDataset
 
@@ -280,13 +314,15 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
     if len(batch_sizes) == 1:
         batch_sizes = batch_sizes * len(paths)
 
+    finite = epochs is not None
+    lk = dict(num_workers=getattr(args, "num_workers", 2),
+              worker_mode=getattr(args, "data_worker_mode", "thread"),
+              process_index=process_index, process_count=process_count,
+              epochs=epochs, drop_last=not finite)
+
     special = _special_dataset(args, train)
     if special is not None:
-        return DataLoader(special, batch_sizes[0], shuffle=train,
-                          num_workers=getattr(args, "num_workers", 2),
-                          worker_mode=getattr(args, "data_worker_mode", "thread"),
-                          process_index=process_index,
-                          process_count=process_count)
+        return DataLoader(special, batch_sizes[0], shuffle=train, **lk)
 
     def _is_image_list(dlist: str) -> bool:
         # the first entry's extension is authoritative — a list NAME
@@ -325,11 +361,7 @@ def VideoData(args, train: bool = True, process_index: int = 0, process_count: i
                               sequence_length=args.sequence_length,
                               train=train, resolution=args.resolution,
                               resizecrop=getattr(args, "resizecrop", False))
-        loaders.append(DataLoader(ds, bs, shuffle=train,
-                                  num_workers=getattr(args, "num_workers", 2),
-                                  worker_mode=getattr(args, "data_worker_mode", "thread"),
-                                  process_index=process_index,
-                                  process_count=process_count))
+        loaders.append(DataLoader(ds, bs, shuffle=train, **lk))
 
     if len(loaders) == 1:
         return loaders[0]

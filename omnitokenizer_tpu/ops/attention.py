@@ -94,6 +94,40 @@ def sdpa(
     return out.astype(v.dtype)
 
 
+def _attention_ref_math(x, gamma, wq, wkv, q_scale, k_scale, *, dtype, heads,
+                        dim_head, scale, causal, use_rope):
+    """Plain-XLA cosine attention (bias-free) as a pure function of
+    (x (B, N, D), params) -> (B, N, H*D) pre-output-projection tokens.
+
+    Op-for-op the same math as the in-method path of `Attention.__call__`
+    below (incl. the k/v-reads-pre-norm reference quirk) — it defines the
+    BACKWARD of the kernel-forward training branch (ops/kernel_grad.py), so
+    any drift between the two is a training/serving numerics split."""
+    from .norms import _layer_norm
+
+    B, N, _ = x.shape
+    inner = heads * dim_head
+    prec = mm_precision(dtype)
+    xn = (_layer_norm(x) * gamma).astype(dtype)
+    q = jnp.dot(xn, wq.astype(dtype), precision=prec,
+                preferred_element_type=jnp.float32).astype(dtype)
+    kv = jnp.dot(x.astype(dtype), wkv.astype(dtype), precision=prec,
+                 preferred_element_type=jnp.float32).astype(dtype)
+    k, v = jnp.split(kv, 2, axis=-1)
+    q = q.reshape(B, N, heads, dim_head)
+    k = k.reshape(B, N, heads, dim_head)
+    v = v.reshape(B, N, heads, dim_head)
+    if use_rope:
+        q, k = apply_rotary_emb_2d(q, k)
+    q = l2norm(q.astype(jnp.float32)) * q_scale
+    k = l2norm(k.astype(jnp.float32)) * k_scale
+    q = jnp.transpose(q, (0, 2, 1, 3)).astype(dtype)
+    k = jnp.transpose(k, (0, 2, 1, 3)).astype(dtype)
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    out = sdpa(q, k, v, scale, bias=None, causal=causal, training=True)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, inner)
+
+
 class Attention(nn.Module):
     """Cosine-sim multi-head attention with fixed logit scale 8.
 
@@ -146,6 +180,7 @@ class Attention(nn.Module):
         # The whole temporal stack (PEG / attention / FF / residuals) stays on
         # one 2D buffer; the 3D (B', n, D) form pads n -> 8 sublanes and costs
         # a relayout copy at every op boundary (trace: ~2 ms/step).
+        from .kernel_grad import kernel_fwd_ref_bwd, train_kernel_fwd_ops
         from .pallas.ln_qkv import ln_qkv, ln_qkv_supported
         from .pallas.small_attn import small_n_attention_flat, small_n_supported
 
@@ -153,18 +188,90 @@ class Attention(nn.Module):
             assert n_frames is not None, "2D attention input needs n_frames"
             needs_bias_flat = self.attn_bias_mode == "einsum" and self.causal
             bias_tag = None if not needs_bias_flat else object()
-            if (self.dtype == jnp.bfloat16 and not self.is_initializing()
-                    and not training
-                    and ln_qkv_supported(self.dtype, self.dim)
-                    and small_n_supported(n_frames, bias_tag)):
+            flat_kernels_ok = (
+                self.dtype == jnp.bfloat16 and not self.is_initializing()
+                and ln_qkv_supported(self.dtype, self.dim)
+                and small_n_supported(n_frames, bias_tag))
+            if flat_kernels_ok and not training:
                 q2, kv2 = ln_qkv(x, gamma, wq, wkv)
                 out = small_n_attention_flat(
                     q2, kv2, q_scale, k_scale, n=n_frames, heads=self.heads,
                     dim_head=self.dim_head, scale=self.scale, causal=self.causal)
                 return proj_out(out)
+            if flat_kernels_ok and training and "flat" in train_kernel_fwd_ops():
+                # kernel primal / ref-math backward (ops/kernel_grad.py)
+                nf, heads, dim_head, scale = (n_frames, self.heads,
+                                              self.dim_head, self.scale)
+                causal, dim, dtype = self.causal, self.dim, self.dtype
+
+                def _kern(x2, g, a, b, qs, ks):
+                    q2, kv2 = ln_qkv(x2, g, a, b)
+                    return small_n_attention_flat(
+                        q2, kv2, qs, ks, n=nf, heads=heads, dim_head=dim_head,
+                        scale=scale, causal=causal)
+
+                def _ref(x2, g, a, b, qs, ks):
+                    o = _attention_ref_math(
+                        x2.reshape(-1, nf, dim), g, a, b, qs, ks, dtype=dtype,
+                        heads=heads, dim_head=dim_head, scale=scale,
+                        causal=causal, use_rope=False)
+                    return o.reshape(-1, heads * dim_head)
+
+                out = kernel_fwd_ref_bwd(_kern, _ref)(
+                    x, gamma, wq, wkv, q_scale, k_scale)
+                return proj_out(out)
             x = x.reshape(-1, n_frames, self.dim)
 
         B, N, _ = x.shape
+
+        # kernel primal / ref-math backward for the TRAINING forward
+        # (ops/kernel_grad.py): the serving kernels have no vjp rules, so
+        # their vjp is defined as rematerialized XLA math.  Mirrors the
+        # serving dispatch conditions below.
+        if (self.dtype == jnp.bfloat16 and training
+                and not self.is_initializing()
+                and "attn" in train_kernel_fwd_ops()):
+            from .pallas.cosine_mha import cosine_mha, cosine_mha_supported
+            from .pallas.small_attn import small_n_attention, small_n_supported
+
+            uses_rope = self.spatial_pos == "rope" and is_spatial
+            needs_bias = self.attn_bias_mode == "einsum" and (
+                (self.spatial_pos == "rel" and is_spatial) or self.causal)
+            bias_tag = None if not needs_bias else object()
+            use_small = not uses_rope and small_n_supported(N, bias_tag)
+            use_mha = cosine_mha_supported(N, bias_tag, self.causal)
+            if ((use_small or use_mha)
+                    and ln_qkv_supported(self.dtype, self.dim) and N % 8 == 0):
+                if self.spatial_pos == "rel" and is_spatial:
+                    # parameter parity: the reference instantiates the CPB
+                    # MLP even when SDPA drops the bias
+                    ContinuousPositionBias(dim=self.dim, heads=self.heads,
+                                           name="spatial_rel_pos_bias")(
+                        int(N ** 0.5), int(N ** 0.5))
+                heads, dim_head, scale = self.heads, self.dim_head, self.scale
+                causal, dim, dtype = self.causal, self.dim, self.dtype
+
+                def _kern(x3, g, a, b, qs, ks):
+                    q2, kv2 = ln_qkv(x3.reshape(B * N, dim), g, a, b)
+                    q3 = q2.reshape(B, N, inner)
+                    kv3 = kv2.reshape(B, N, 2 * inner)
+                    if use_small:
+                        return small_n_attention(
+                            q3, kv3, qs, ks, heads=heads, dim_head=dim_head,
+                            scale=scale, causal=causal)
+                    return cosine_mha(q3, kv3, qs, ks, heads=heads,
+                                      dim_head=dim_head, scale=scale,
+                                      use_rope=uses_rope)
+
+                def _ref(x3, g, a, b, qs, ks):
+                    return _attention_ref_math(
+                        x3, g, a, b, qs, ks, dtype=dtype, heads=heads,
+                        dim_head=dim_head, scale=scale, causal=causal,
+                        use_rope=uses_rope)
+
+                out = kernel_fwd_ref_bwd(_kern, _ref)(
+                    x, gamma, wq, wkv, q_scale, k_scale)
+                return proj_out(out)
 
         # Reference quirk (attention.py:404-412): for self-attention the k/v
         # projection reads the PRE-norm input (kv_input is bound before
@@ -285,12 +392,39 @@ class FeedForward(nn.Module):
         w2 = self.param("proj_out_kernel", nn.initializers.lecun_normal(),
                         (inner, self.dim), jnp.float32)
 
+        from .kernel_grad import kernel_fwd_ref_bwd, train_kernel_fwd_ops
         from .pallas.geglu_ff import geglu_ff, geglu_ff_supported
 
-        if (geglu_ff_supported(self.dtype, self.dim)
-                and not self.is_initializing() and not training):
+        kernel_ok = (geglu_ff_supported(self.dtype, self.dim)
+                     and not self.is_initializing())
+        if kernel_ok and not training:
             flat = x.reshape(-1, self.dim)
             out = geglu_ff(flat.astype(self.dtype), ln_w, ln_b, w1, w2)
+            return out.reshape(*x.shape[:-1], self.dim)
+        if kernel_ok and training and "ff" in train_kernel_fwd_ops():
+            # kernel primal / ref-math backward (ops/kernel_grad.py); the
+            # kernel's tanh-GELU vs the math path's erf-GELU is a <=3e-4
+            # fwd-only delta, below the bf16 noise already on this path
+            dtype = self.dtype
+
+            def _ref(f, lw, lb, a, b):
+                from .norms import _layer_norm
+
+                prec = mm_precision(dtype)
+                h = (_layer_norm(f) * lw + lb).astype(dtype)
+                h = jnp.dot(h, a.astype(dtype), precision=prec,
+                            preferred_element_type=jnp.float32).astype(dtype)
+                val, gate = jnp.split(h, 2, axis=-1)
+                h = jax.nn.gelu(gate, approximate=False) * val
+                return jnp.dot(h.astype(dtype), b.astype(dtype), precision=prec,
+                               preferred_element_type=jnp.float32).astype(dtype)
+
+            def _kern(f, lw, lb, a, b):
+                return geglu_ff(f, lw, lb, a, b)
+
+            flat = x.reshape(-1, self.dim)
+            out = kernel_fwd_ref_bwd(_kern, _ref)(
+                flat.astype(self.dtype), ln_w, ln_b, w1, w2)
             return out.reshape(*x.shape[:-1], self.dim)
 
         from .norms import _layer_norm

@@ -242,3 +242,73 @@ def test_videodata_routes_special_datasets(tmp_path):
     batch = next(it)
     assert batch["video"].shape == (2, 4, 16, 16, 3)
     it.close()
+
+
+class _IdxDataset:
+    """Module-level (picklable) toy dataset: sample i = constant plane i."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"video": np.full((2, 2), i, np.float32)}
+
+
+def test_dataloader_finite_epochs_eval_semantics():
+    """epochs=1 reproduces the reference eval's one-pass torch-DataLoader:
+    in order, tail batch INCLUDED (drop_last=False), then the iterator ENDS.
+    The infinite default (training contract) is unchanged.  Regression for
+    the round-5 find: vqgan_eval looped forever on the epoch-cycling
+    iterator (reference bar: vqgan_eval.py:95-101 iterates a finite loader
+    exactly once)."""
+    from omnitokenizer_tpu.data.loader import DataLoader
+
+    dl = DataLoader(_IdxDataset(7), 2, shuffle=False, drop_last=False,
+                    epochs=1, num_workers=1)
+    batches = [b["video"][:, 0, 0].tolist() for b in dl]
+    assert batches == [[0, 1], [2, 3], [4, 5], [6]], batches
+
+    # multiple finite epochs
+    dl = DataLoader(_IdxDataset(7), 2, shuffle=False, drop_last=False,
+                    epochs=2, num_workers=2)
+    assert sum(1 for _ in dl) == 8
+
+    # finite epochs in process mode (sentinel-free path: the index stream
+    # itself exhausts)
+    dl = DataLoader(_IdxDataset(6), 2, shuffle=False, drop_last=False,
+                    epochs=1, num_workers=2, worker_mode="process")
+    assert sum(1 for _ in dl) == 3
+
+    # default stays infinite
+    dl = DataLoader(_IdxDataset(3), 2, shuffle=True, num_workers=1)
+    it = iter(dl)
+    for _ in range(9):
+        next(it)
+    it.close()
+
+
+def test_videodata_epochs_one_terminates(tmp_path):
+    """VideoData(..., epochs=1) on a video dir ends after one pass with the
+    tail batch kept — the seam vqgan_eval drives."""
+    import argparse
+
+    import imageio.v3 as iio
+
+    from omnitokenizer_tpu.data.loader import VideoData
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "test").mkdir()
+    for i in range(3):
+        clip = rng.randint(0, 255, (6, 16, 16, 3), np.uint8)
+        iio.imwrite(str(tmp_path / "test" / f"c{i}.gif"), clip)
+
+    args = argparse.Namespace(
+        data_path=str(tmp_path), train_datalist="none", val_datalist="none",
+        loader_type="sep", batch_size=2, sequence_length=5, resolution=16,
+        num_workers=1, fps=-1)
+    loader = VideoData(args, train=False, epochs=1)
+    batches = list(iter(loader))
+    assert [len(b["video"]) for b in batches] == [2, 1]  # tail included

@@ -188,11 +188,13 @@ def test_image_branch_fid_and_usage_number_parity(tmp_path, monkeypatch):
     cli/vqgan_eval.py image mode, same printed numbers."""
     install_data_stubs()
     ref_data = ref_module("data")
-    # fid_score.py:54 does `from pytorch_fid.inception import InceptionV3`
-    # at import time — the stub-backed inception module must be registered
+    # fid_score.py:54 does a FLAT `from inception import InceptionV3` at
+    # import time (the vendored copy is run as a script from its own dir) —
+    # the stub-backed inception module must be registered under BOTH names
     # BEFORE fid_score is imported.
     inc_mod = ref_pytorch_fid_inception()
     sys.modules.setdefault("pytorch_fid.inception", inc_mod)
+    sys.modules.setdefault("inception", inc_mod)
     fid_score = importlib.import_module("pytorch_fid.fid_score")
 
     from PIL import Image
