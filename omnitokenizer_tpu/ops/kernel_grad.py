@@ -28,8 +28,9 @@ from typing import Callable
 import jax
 
 # Default = the measured on-chip winners (PERF.md round-5 "kernel-fwd
-# training" A/B); overridable for A/B runs.
-_DEFAULT = ""
+# training" A/B: G fwd+bwd 217.7 -> 201.7 ms with all three op groups on,
+# flagship 256^2 B=4; ff alone 207.0 ms); overridable for A/B runs.
+_DEFAULT = "attn,ff,flat"
 
 
 def train_kernel_fwd_ops() -> frozenset:
